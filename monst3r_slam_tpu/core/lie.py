@@ -240,10 +240,26 @@ def sim3_log(T: jax.Array) -> jax.Array:
 
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
     A, B, C = _sim3_W_coeffs(theta_sq, sigma)
-    Phi = skew(phi)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), Phi.shape)
-    W = C[..., None] * eye + A[..., None] * Phi + B[..., None] * (Phi @ Phi)
-    tau = jnp.linalg.solve(W, t[..., None])[..., 0]
+    # W = C I + A Phi + B Phi^2 = (C - B th2) I + A Phi + B phi phi^T
+    # (using Phi^2 = phi phi^T - th2 I). Writing W = a I + b Phi + c phi phi^T,
+    # W acts as (a + c th2) on span(phi) and as a + b*th*J (J = 90-degree
+    # rotation) on the orthogonal plane, giving the closed-form inverse
+    #   W^{-1} = p I + q Phi + r phi phi^T,
+    #   p = a/(a^2+b^2 th2), q = -b/(a^2+b^2 th2), r = (1/(a+c th2) - p)/th2.
+    # Elementwise only — avoids batched LU and MXU rounding.
+    a = C - B * theta_sq
+    b = A
+    c = B
+    denom_perp = a * a + b * b * theta_sq
+    p = a / denom_perp
+    qc = -b / denom_perp
+    # On the phi axis: W phi = (a + c th2) phi  =>  inverse eigenvalue:
+    ax = a + c * theta_sq
+    r = (1.0 / ax - p) / jnp.where(theta_sq < _EPS, 1.0, theta_sq)
+    r = jnp.where(theta_sq < _EPS, 0.0, r)
+    # W^{-1} t = p t + q (phi x t) + r (phi . t) phi
+    phi_dot_t = jnp.sum(phi * t, axis=-1, keepdims=True)
+    tau = p * t + qc * jnp.cross(phi, t) + r * phi_dot_t * phi
     return jnp.concatenate([tau, phi, sigma], axis=-1)
 
 

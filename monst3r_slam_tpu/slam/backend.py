@@ -1,0 +1,288 @@
+"""Backend pose-graph Gauss-Newton over dense pointmap correspondences.
+
+TPU-native replacement for the reference CUDA kernels `gauss_newton_rays`
+(`backend/src/gn_kernels.cu:813-1228`) and `gauss_newton_calib` (:1231-1637)
+plus the host Eigen `SparseBlock` solver (:57-159):
+
+  * Per-edge 14x14 Hessians / 2x7 gradients are accumulated with chunked
+    einsum contractions over pixels (`lax.scan` over fixed-size pixel chunks —
+    the MXU-friendly analogue of the reference's one-block-per-edge register
+    accumulation).
+  * The (P-pin)*7 square system is assembled with masked scatter-adds into a
+    dense matrix (pose graphs here are <= a few hundred keyframes) and solved
+    with a device Cholesky; invalid/padded edges scatter into a trash block.
+  * The whole `max_iters` loop with the |dx| < delta early stop
+    (gn_kernels.cu:1183-1222) is a single jit program with NO host round trip
+    per iteration (the reference syncs GPU->CPU->GPU every iteration).
+
+All shapes are static: (P, hw) pointmaps, (E,) edge arrays padded to capacity
+with `edge_valid` masks; the app layer buckets capacities to avoid recompiles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from monst3r_slam_tpu.core import lie, robust
+
+
+class BackendConfig(NamedTuple):
+    """Static backend parameters (config/base.yaml:42-58 `local_opt`)."""
+
+    pin: int = 1
+    C_conf: float = 0.0
+    Q_conf: float = 1.5
+    max_iters: int = 10
+    sigma_ray: float = 0.003
+    sigma_dist: float = 10.0
+    sigma_pixel: float = 1.0
+    sigma_depth: float = 10.0
+    delta_norm: float = 1e-8
+    pixel_border: float = -10.0
+    depth_eps: float = 1e-6
+    chunk: int = 8192  # pixels per accumulation step
+
+
+def _point_jac_local(P: jax.Array) -> jax.Array:
+    """B = [I | -skew(P) | P] (..., 3, 7): d(exp(eps) P)/d eps."""
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=P.dtype), P.shape[:-1] + (3, 3))
+    return jnp.concatenate([eye, -lie.skew(P), P[..., :, None]], axis=-1)
+
+
+def _ray_residual(Xi, Xj_Ci):
+    """Residual + local Jacobian of the uncalibrated ray/dist alignment
+    (gn_kernels.cu:926-985). Returns (err (...,4), J_local (...,4,7), extra_valid)."""
+    from monst3r_slam_tpu.core import geometry
+
+    rd_i = geometry.point_to_ray_dist(Xi)
+    rd_j, drd_dP = geometry.point_to_ray_dist(Xj_Ci, jacobian=True)
+    err = rd_j - rd_i
+    J_local = drd_dP @ _point_jac_local(Xj_Ci)
+    valid = jnp.ones(err.shape[:-1] + (1,), bool)
+    return err, J_local, valid
+
+
+def _calib_residual(Xi, Xj_Ci, ind_Xi, K, height, width, border, z_eps):
+    """Residual + local Jacobian of the calibrated reprojection alignment
+    (gn_kernels.cu:1352-1430). Measured pixel is ind_Xi's grid position."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    u_t = (ind_Xi % width).astype(Xi.dtype)
+    v_t = (ind_Xi // width).astype(Xi.dtype)
+
+    zj = Xj_Ci[..., 2]
+    valid_z = (zj > z_eps) & (Xi[..., 2] > z_eps)
+    zj_safe = jnp.where(valid_z, zj, 1.0)
+    zj_inv = 1.0 / zj_safe
+    x_div_z = Xj_Ci[..., 0] * zj_inv
+    y_div_z = Xj_Ci[..., 1] * zj_inv
+    u = fx * x_div_z + cx
+    v = fy * y_div_z + cy
+    valid_uv = (
+        (u > border) & (u < width - 1 - border)
+        & (v > border) & (v < height - 1 - border)
+    )
+    err = jnp.stack(
+        [
+            u - u_t,
+            v - v_t,
+            jnp.where(valid_z, jnp.log(zj_safe) - jnp.log(jnp.maximum(Xi[..., 2], 1e-30)), 0.0),
+        ],
+        axis=-1,
+    )
+    zero = jnp.zeros_like(zj_inv)
+    dP = jnp.stack(
+        [
+            jnp.stack([fx * zj_inv, zero, -fx * x_div_z * zj_inv], axis=-1),
+            jnp.stack([zero, fy * zj_inv, -fy * y_div_z * zj_inv], axis=-1),
+            jnp.stack([zero, zero, zj_inv], axis=-1),
+        ],
+        axis=-2,
+    )
+    J_local = dP @ _point_jac_local(Xj_Ci)
+    return err, J_local, (valid_z & valid_uv)[..., None]
+
+
+def _edge_terms(
+    Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg: BackendConfig,
+    calib=None,
+):
+    """Accumulate per-edge Hessian blocks and gradients over all pixels.
+
+    Twc (P, 8); Xs (P, hw, 3); Cs (P, hw, 1); ii/jj (E,); idx_ii2jj (E, hw);
+    valid_match (E, hw); Q (E, hw); edge_valid (E,).
+    Returns H (E, 14, 14), g (E, 14).
+    """
+    E, hw = idx_ii2jj.shape
+    chunk = min(cfg.chunk, hw)
+    n_chunks = -(-hw // chunk)
+    pad = n_chunks * chunk - hw
+
+    def pad_c(x, fill=0):
+        return jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill) if pad else x
+
+    idx_p = pad_c(idx_ii2jj)
+    vm_p = pad_c(valid_match, False)
+    Q_p = pad_c(Q)
+    # Pixel index of each (padded) slot, for calib measurement pixels
+    pix_p = jnp.broadcast_to(jnp.arange(n_chunks * chunk)[None], (E, n_chunks * chunk))
+
+    Ti = Twc[ii]  # (E, 8)
+    Tj = Twc[jj]
+    Tij = lie.sim3_rel(Ti, Tj)
+
+    if calib is not None:
+        K, height, width = calib
+        m = 3
+        sig_a, sig_b = cfg.sigma_pixel, cfg.sigma_depth
+        rep_a = 2
+    else:
+        m = 4
+        sig_a, sig_b = cfg.sigma_ray, cfg.sigma_dist
+        rep_a = 3
+
+    sig_inv = jnp.asarray([1.0 / sig_a] * rep_a + [1.0 / sig_b], jnp.float32)
+
+    def body(carry, args):
+        H_acc, g_acc = carry
+        idx_c, vm_c, Q_c, pix_c = args  # (E, chunk), ...
+        ind_Xi = jnp.where(vm_c, idx_c, 0)
+        Xi = Xs[ii[:, None], ind_Xi]  # (E, chunk, 3)
+        Ci = Cs[ii[:, None], ind_Xi, 0]
+        Xj = Xs[jj[:, None], pix_c % hw]
+        Cj = Cs[jj[:, None], pix_c % hw, 0]
+        in_range = pix_c < hw
+
+        Xj_Ci = lie.sim3_act(Tij[:, None, :], Xj)
+
+        if calib is not None:
+            err, J_local, extra_valid = _calib_residual(
+                Xi, Xj_Ci, ind_Xi, K, height, width, cfg.pixel_border, cfg.depth_eps
+            )
+        else:
+            err, J_local, extra_valid = _ray_residual(Xi, Xj_Ci)
+
+        valid = (
+            vm_c
+            & (Q_c > cfg.Q_conf)
+            & (Ci > cfg.C_conf)
+            & (Cj > cfg.C_conf)
+            & extra_valid[..., 0]
+            & in_range
+            & edge_valid[:, None]
+        )
+
+        sqrt_w = jnp.where(valid[..., None], sig_inv * jnp.sqrt(jnp.maximum(Q_c, 0.0))[..., None], 0.0)
+        w = robust.huber(sqrt_w * err) * sqrt_w * sqrt_w  # (E, chunk, m)
+
+        # Transfer local Jacobian to absolute poses: Jj = Adj(Ti)^-T J_local,
+        # Ji = -Jj (gn_kernels.cu:988-1000)
+        Jj = lie.sim3_adj_inv_T_apply(Ti[:, None, None, :], J_local)
+        Jx = jnp.concatenate([-Jj, Jj], axis=-1)  # (E, chunk, m, 14)
+
+        H_acc = H_acc + jnp.einsum("ecrm,ecr,ecrn->emn", Jx, w, Jx)
+        g_acc = g_acc + jnp.einsum("ecrm,ecr,ecr->em", Jx, w, err)
+        return (H_acc, g_acc), None
+
+    def resh(x):
+        return x.reshape(E, n_chunks, chunk).swapaxes(0, 1)
+
+    init = (jnp.zeros((E, 14, 14)), jnp.zeros((E, 14)))
+    (H, g), _ = jax.lax.scan(
+        body, init, (resh(idx_p), resh(vm_p), resh(Q_p), resh(pix_p))
+    )
+    return H, g
+
+
+def _assemble_and_solve(H, g, ii, jj, edge_valid, n_poses: int, cfg: BackendConfig):
+    """Scatter edge blocks into the dense reduced system and solve.
+
+    Returns dx (P, 7) with pinned poses zeroed.
+    """
+    P = n_poses
+    pin = cfg.pin
+    n_opt = P - pin
+    dim = n_opt * 7
+
+    def opt_idx(a):
+        # Map pose index -> optimized index; pinned/invalid -> trash slot n_opt
+        oi = a - pin
+        return jnp.where((oi < 0) | (~edge_valid), n_opt, oi)
+
+    oi = opt_idx(ii)
+    oj = opt_idx(jj)
+
+    Hd = jnp.zeros((dim + 7, dim + 7))
+    gd = jnp.zeros((dim + 7,))
+
+    r7 = jnp.arange(7)
+    blocks = [
+        (oi, oi, H[:, 0:7, 0:7]),
+        (oi, oj, H[:, 0:7, 7:14]),
+        (oj, oi, H[:, 7:14, 0:7]),
+        (oj, oj, H[:, 7:14, 7:14]),
+    ]
+    for a, b, blk in blocks:
+        rows = a[:, None, None] * 7 + r7[None, :, None]
+        cols = b[:, None, None] * 7 + r7[None, None, :]
+        Hd = Hd.at[rows, cols].add(blk)
+    for a, vec in ((oi, g[:, 0:7]), (oj, g[:, 7:14])):
+        rows = a[:, None] * 7 + r7[None, :]
+        gd = gd.at[rows].add(vec)
+
+    H_opt = Hd[:dim, :dim]
+    g_opt = gd[:dim]
+    # Tikhonov floor keeps padded (all-zero) pose blocks factorizable and
+    # guards f32 conditioning (reference solves in f64 on the host).
+    damp = 1e-6 * jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(H_opt))), 1.0)
+    H_opt = H_opt + (damp + 1e-8) * jnp.eye(dim)
+
+    L, lower = jax.scipy.linalg.cho_factor(H_opt, lower=True)
+    dx = jax.scipy.linalg.cho_solve((L, lower), g_opt)
+    dx = -dx  # NOTE sign (gn_kernels.cu:1192)
+    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+    dx = dx.reshape(n_opt, 7)
+    return jnp.concatenate([jnp.zeros((pin, 7)), dx], axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_poses", "use_calib", "img_size"))
+def gauss_newton(
+    Twc: jax.Array,  # (P, 8) — P static (bucketed)
+    Xs: jax.Array,  # (P, hw, 3)
+    Cs: jax.Array,  # (P, hw, 1)
+    ii: jax.Array,  # (E,) int32 two-way edge list
+    jj: jax.Array,
+    idx_ii2jj: jax.Array,  # (E, hw)
+    valid_match: jax.Array,  # (E, hw) bool
+    Q: jax.Array,  # (E, hw)
+    edge_valid: jax.Array,  # (E,) bool
+    cfg: BackendConfig,
+    n_poses: int,
+    use_calib: bool = False,
+    K: jax.Array | None = None,
+    img_size=None,
+):
+    """Full GN loop (driver of gn_kernels.cu:1140-1228). Returns new Twc."""
+    calib = (K, img_size[0], img_size[1]) if use_calib else None
+
+    def cond(state):
+        Twc, it, delta = state
+        return (it < cfg.max_iters) & (delta >= cfg.delta_norm)
+
+    def body(state):
+        Twc, it, _ = state
+        H, g = _edge_terms(
+            Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg, calib
+        )
+        dx = _assemble_and_solve(H, g, ii, jj, edge_valid, n_poses, cfg)
+        Twc_new = lie.sim3_retr(Twc, dx)
+        # Keep pinned poses exactly (dx rows are zero but retr(0) is exact id)
+        delta = jnp.linalg.norm(dx)
+        return Twc_new, it + 1, delta
+
+    state = (Twc, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf))
+    Twc_out, iters, delta = jax.lax.while_loop(cond, body, state)
+    return Twc_out, iters

@@ -41,7 +41,10 @@ def test_quat_rotate_matches_matrix():
 def test_so3_exp_log_roundtrip():
     key = jax.random.PRNGKey(2)
     phi = jax.random.normal(key, (100, 3))
-    np.testing.assert_allclose(lie.so3_log(lie.so3_exp(phi)), phi, atol=1e-5)
+    # so3_log returns the principal rotation vector (|phi| <= pi)
+    norm = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    phi = phi * jnp.minimum(norm, 3.0) / norm
+    np.testing.assert_allclose(lie.so3_log(lie.so3_exp(phi)), phi, atol=1e-4)
 
 
 def test_so3_exp_log_small_angle():
@@ -114,14 +117,16 @@ def test_sim3_adj_inv_T_apply():
     adjoint matrix.
     """
     Ti = random_sim3(jax.random.PRNGKey(14))
-    # Build Adj(Ti^-1) numerically column by column: Adj(T) e = log(T exp(e) T^-1)
-    eps = 1e-4
+    # Build Adj(Ti^-1) numerically column by column (central differences):
+    # Adj(Ti^-1) e = log(Ti^-1 exp(e) Ti)
+    eps = 1e-2
     cols = []
     Ti_inv = lie.sim3_inv(Ti)
     for k in range(7):
         e = jnp.zeros(7).at[k].set(eps)
-        pert = lie.sim3_mul(Ti_inv, lie.sim3_mul(lie.sim3_exp(e), Ti))
-        cols.append(lie.sim3_log(pert) / eps)
+        plus = lie.sim3_log(lie.sim3_mul(Ti_inv, lie.sim3_mul(lie.sim3_exp(e), Ti)))
+        minus = lie.sim3_log(lie.sim3_mul(Ti_inv, lie.sim3_mul(lie.sim3_exp(-e), Ti)))
+        cols.append((plus - minus) / (2 * eps))
     adj_inv = jnp.stack(cols, axis=-1)  # 7x7 Adj(Ti^-1)
 
     X = jax.random.normal(jax.random.PRNGKey(15), (7,))

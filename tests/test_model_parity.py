@@ -1,0 +1,144 @@
+"""Numerical parity of the JAX model vs the reference torch implementation.
+
+Builds the reference AsymmetricMASt3R (vendored at /root/reference, imported
+as a test oracle only) with small random weights, converts the state dict with
+`models/convert.py`, and compares encoder features and all head outputs.
+Skipped automatically when the reference tree is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/MASt3R-SLAM/thirdparty/mast3r"
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(REF):  # pragma: no cover
+    pytest.skip("reference tree unavailable", allow_module_level=True)
+
+for p in (REF, f"{REF}/dust3r", f"{REF}/dust3r/croco"):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+import jax.numpy as jnp  # noqa: E402
+
+from monst3r_slam_tpu.models import mast3r as jmodel  # noqa: E402
+from monst3r_slam_tpu.models.config import INF, ModelConfig  # noqa: E402
+from monst3r_slam_tpu.models.convert import (  # noqa: E402
+    config_from_arch_string,
+    params_from_state_dict,
+)
+
+H, W = 64, 80
+
+CFG = ModelConfig(
+    enc_depth=2,
+    enc_dim=64,
+    enc_heads=4,
+    dec_depth=12,
+    dec_dim=48,
+    dec_heads=4,
+    desc_dim=24,
+    two_confs=True,
+    desc_conf_mode=("exp", 0.0, INF),
+)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from mast3r.model import AsymmetricMASt3R
+
+    torch.manual_seed(0)
+    model = AsymmetricMASt3R(
+        output_mode="pts3d+desc24",
+        head_type="catmlp+dpt",
+        depth_mode=("exp", -INF, INF),
+        conf_mode=("exp", 1, INF),
+        desc_conf_mode=("exp", 0, INF),
+        two_confs=True,
+        enc_embed_dim=CFG.enc_dim,
+        enc_depth=CFG.enc_depth,
+        enc_num_heads=CFG.enc_heads,
+        dec_embed_dim=CFG.dec_dim,
+        dec_depth=CFG.dec_depth,
+        dec_num_heads=CFG.dec_heads,
+        pos_embed="RoPE100",
+        img_size=(H, W),
+        patch_embed_cls="PatchEmbedDust3R",
+        landscape_only=False,
+    ).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_state_dict(sd, CFG)
+    return model, params
+
+
+def _torch_forward(model, img1, img2):
+    with torch.inference_mode():
+        shape = torch.tensor([[H, W]])
+        feat1, pos1, _ = model._encode_image(torch.from_numpy(img1), shape)
+        feat2, pos2, _ = model._encode_image(torch.from_numpy(img2), shape)
+        d1, d2 = model._decoder(feat1, pos1, feat2, pos2)
+        r1 = model._downstream_head(1, [t.float() for t in d1], shape)
+        r2 = model._downstream_head(2, [t.float() for t in d2], shape)
+    return (feat1, pos1), (r1, r2)
+
+
+def test_full_pair_parity(oracle):
+    model, params = oracle
+    rng = np.random.default_rng(0)
+    img1 = rng.standard_normal((1, 3, H, W), dtype=np.float32) * 0.5
+    img2 = rng.standard_normal((1, 3, H, W), dtype=np.float32) * 0.5
+
+    (feat1_t, pos1_t), (r1_t, r2_t) = _torch_forward(model, img1, img2)
+
+    img1_j = jnp.asarray(img1.transpose(0, 2, 3, 1))
+    img2_j = jnp.asarray(img2.transpose(0, 2, 3, 1))
+    feat1, pos1 = jmodel.encode(params, CFG, img1_j, dtype=jnp.float32)
+    feat2, pos2 = jmodel.encode(params, CFG, img2_j, dtype=jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(feat1), feat1_t.numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(pos1), pos1_t.numpy())
+
+    out = jmodel.decode(params, CFG, feat1, pos1, feat2, pos2, (H, W), dtype=jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(out.X1), r1_t["pts3d"].numpy(), atol=2e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.C1), r1_t["conf"].numpy(), atol=2e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.D1), r1_t["desc"].numpy(), atol=2e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.Q1), r1_t["desc_conf"].numpy(), atol=2e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.X2), r2_t["pts3d"].numpy(), atol=2e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.C2), r2_t["conf"].numpy(), atol=2e-3, rtol=1e-2
+    )
+
+
+def test_config_from_arch_string():
+    arch = (
+        "AsymmetricMASt3R(desc_conf_mode=('exp', 0, inf), two_confs=True, "
+        "output_mode='pts3d+desc24', head_type='catmlp+dpt', "
+        "depth_mode=('exp', -inf, inf), conf_mode=('exp', 1, inf), "
+        "enc_embed_dim=1024, enc_depth=24, enc_num_heads=16, "
+        "dec_embed_dim=768, dec_depth=12, dec_num_heads=12, "
+        "patch_embed_cls='PatchEmbedDust3R', img_size=(512, 512), "
+        "landscape_only=False)"
+    )
+    cfg = config_from_arch_string(arch)
+    assert cfg.enc_dim == 1024 and cfg.enc_depth == 24 and cfg.enc_heads == 16
+    assert cfg.dec_dim == 768 and cfg.dec_depth == 12
+    assert cfg.desc_dim == 24 and cfg.two_confs
+    assert cfg.desc_conf_mode == ("exp", 0.0, INF)
+    assert cfg.conf_mode == ("exp", 1.0, INF)
+    assert cfg.hooks == (0, 6, 9, 12)
