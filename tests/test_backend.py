@@ -9,7 +9,13 @@ from monst3r_slam_tpu.slam import backend
 
 
 def build_graph(key, P=4, hw=512, noise=0.05, calib=None):
-    """P keyframes all viewing one world cloud; identity correspondences."""
+    """P keyframes all viewing one world cloud; identity correspondences.
+
+    For the calibrated case the measured pixel of a correspondence is its
+    index's grid position, which is only consistent when every camera sees
+    the cloud at the same pixel grid — so there ground truth is all-identity
+    poses (each init perturbation must be pulled back to identity).
+    """
     k1, k2, k3 = jax.random.split(key, 3)
     if calib is not None:
         K, h, w = calib
@@ -18,14 +24,14 @@ def build_graph(key, P=4, hw=512, noise=0.05, calib=None):
         uv = geometry.get_pixel_coords(1, (h, w)).reshape(-1, 2)
         z = 3.0 + jnp.sin(uv[:, 0:1] * 0.3) * jnp.cos(uv[:, 1:2] * 0.2)
         W = geometry.backproject(uv, z, K)
+        xi = jnp.zeros((P, 7))
     else:
         W = jax.random.normal(k1, (hw, 3)) * jnp.asarray([1.0, 1.0, 0.4]) + jnp.asarray(
             [0.0, 0.0, 4.0]
         )
-
-    # Ground-truth poses: small perturbations from identity
-    xi = 0.1 * jax.random.normal(k2, (P, 7))
-    xi = xi.at[0].set(0.0)
+        # Ground-truth poses: small perturbations from identity
+        xi = 0.1 * jax.random.normal(k2, (P, 7))
+        xi = xi.at[0].set(0.0)
     T_true = lie.sim3_exp(xi)  # T_WC per keyframe
 
     Xs = jax.vmap(lambda T: lie.sim3_act(lie.sim3_inv(T), W))(T_true)
@@ -82,9 +88,7 @@ def test_gauss_newton_calib_converges():
     err1 = pose_errors(T_out, T_true)
     err0 = pose_errors(T_init, T_true)
     assert float(err1[0]) < 1e-6
-    # f32 + damping on a 24x32 synthetic scene: expect ~10x error reduction
-    assert float(jnp.max(err1[1:])) < 5e-3
-    assert float(jnp.max(err1[1:])) < 0.3 * float(jnp.max(err0[1:]))
+    assert float(jnp.max(err1[1:])) < 2e-3, (err0, err1)
 
 
 def test_gauss_newton_padded_edges_ignored():
