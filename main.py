@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""MASt3R-SLAM (TPU): CLI-compatible entry point.
+
+Mirrors the reference `main.py:152-354` flags and outputs:
+  python main.py --dataset <path> --config config/base.yaml
+                 [--save-as NAME] [--no-viz] [--calib intrinsics.yaml]
+                 [--checkpoint path.pth] [--max-frames N]
+
+Outputs: logs/.../<seq>.txt (TUM keyframe trajectory), <seq>_full.txt (all
+frames), <seq>.ply reconstruction, keyframes/ PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import time
+
+import jax
+import numpy as np
+import yaml
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", required=True)
+    parser.add_argument("--config", default="config/base.yaml")
+    parser.add_argument("--save-as", dest="save_as", default="default")
+    parser.add_argument("--no-viz", dest="no_viz", action="store_true")
+    parser.add_argument("--calib", default="")
+    parser.add_argument("--checkpoint", default="checkpoints/MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth")
+    parser.add_argument("--retrieval-checkpoint", default="")
+    parser.add_argument("--max-frames", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    from monst3r_slam_tpu.app import evaluate
+    from monst3r_slam_tpu.app.config import config, load_config
+    from monst3r_slam_tpu.app.pipeline import SLAMSystem
+    from monst3r_slam_tpu.data.datasets import Intrinsics, load_dataset
+    from monst3r_slam_tpu.data.preprocess import resize_img
+    from monst3r_slam_tpu.models.config import MAST3R_512
+    from monst3r_slam_tpu.slam import retrieval as retrieval_mod
+
+    load_config(args.config)
+
+    dataset = load_dataset(args.dataset)
+    dataset.subsample(config.get("dataset", {}).get("subsample", 1))
+
+    if args.calib:
+        with open(args.calib) as f:
+            intr = yaml.safe_load(f)
+        config["use_calib"] = True
+        dataset.use_calibration = True
+        dataset.camera_intrinsics = Intrinsics.from_calib(
+            dataset.img_size,
+            intr["width"], intr["height"],
+            np.asarray([intr["fx"], intr["fy"], intr["cx"], intr["cy"]]
+                       + list(intr.get("distortion", []))),
+        )
+
+    h_w, _ = dataset.get_img_shape()
+    img_size = tuple(h_w)
+    print(f"frame size: {img_size}, frames: {len(dataset)}")
+
+    # Model weights: converted checkpoint if present, random otherwise
+    ckpt = pathlib.Path(args.checkpoint)
+    if ckpt.is_file():
+        from monst3r_slam_tpu.models.convert import load_checkpoint
+
+        params, model_cfg = load_checkpoint(str(ckpt))
+        print(f"loaded checkpoint {ckpt}")
+    else:
+        from monst3r_slam_tpu.models.init import init_params
+
+        model_cfg = MAST3R_512
+        params = init_params(jax.random.PRNGKey(args.seed), model_cfg)
+        print("WARNING: checkpoint not found — using random weights")
+
+    K = None
+    if config.get("use_calib", False) and dataset.has_calib():
+        K = np.asarray(dataset.camera_intrinsics.K_frame, np.float32)
+
+    retr_params = None
+    retr_db = None
+    rp = pathlib.Path(args.retrieval_checkpoint) if args.retrieval_checkpoint else None
+    if rp and rp.is_file():
+        retr_params, nfeat = retrieval_mod.retrieval_params_from_checkpoint(str(rp))
+        codebook = retrieval_mod.load_codebook(str(rp).replace(".pth", "_codebook.pkl"))
+        retr_db = retrieval_mod.ASMKDatabase(codebook)
+    else:
+        retr_params = retrieval_mod.init_retrieval_params(
+            jax.random.PRNGKey(1), model_cfg.enc_dim
+        )
+        retr_db = retrieval_mod.ASMKDatabase(
+            retrieval_mod.make_random_codebook(jax.random.PRNGKey(2), 4096, 1024)
+        )
+
+    slam = SLAMSystem(
+        params=params,
+        model_cfg=model_cfg,
+        cfg=dict(config),
+        img_size=img_size,
+        K=None if K is None else jax.numpy.asarray(K),
+        retrieval_params=retr_params,
+        retrieval_db=retr_db,
+    )
+
+    n = len(dataset)
+    if args.max_frames:
+        n = min(n, args.max_frames)
+
+    t0 = time.time()
+    for i in range(n):
+        timestamp, img = dataset[i]
+        out = resize_img(img, dataset.img_size)
+        slam.process_frame(i, timestamp, out["img"][0])
+        if i % 30 == 0 and i > 0:
+            fps = i / (time.time() - t0)
+            print(f"frame {i}/{n}  FPS: {fps:.3f}  keyframes: {int(slam.mem.count)}")
+
+    elapsed = time.time() - t0
+    print(f"done: {n} frames in {elapsed:.1f}s = {n / elapsed:.3f} FPS")
+
+    if dataset.save_results:
+        save_dir, seq_name = evaluate.prepare_savedir(args, dataset)
+        T_kfs, kf_ids = slam.keyframe_trajectory()
+        evaluate.save_traj(save_dir, f"{seq_name}.txt", dataset.timestamps, T_kfs, kf_ids)
+        frame_ids, T_all = slam.full_trajectory()
+        ts_all = [dataset.timestamps[i] for i in frame_ids]
+        evaluate.save_full_traj(save_dir, f"{seq_name}_full.txt", ts_all, T_all)
+        n_kf = int(slam.mem.count)
+        evaluate.save_reconstruction(
+            save_dir, f"{seq_name}.ply",
+            np.asarray(slam.mem.T_WC[:n_kf]),
+            np.asarray(slam.mem.X_canon[:n_kf]),
+            np.asarray(slam.mem.C[:n_kf] / np.maximum(np.asarray(slam.mem.N[:n_kf])[:, None, None], 1)),
+            np.zeros((n_kf, slam.hw, 3)) + 0.5,
+            conf_threshold=1.5,
+        )
+        print(f"saved results to {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

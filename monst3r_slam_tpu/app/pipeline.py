@@ -1,0 +1,392 @@
+"""End-to-end SLAM pipeline: one process, device-resident state.
+
+Replaces the reference's three-process shared-CUDA-tensor topology
+(`main.py:152-332`, `main_monster_slam.py:81-332`) with a single host loop
+driving jit-compiled device programs:
+
+  frame decode/resize (host, overlapped)  ->  encoder (cached per frame)
+  -> pair decode + match (device)         ->  pointmap fusion + GN tracking
+  -> keyframe append / factor-graph edges ->  retrieval (host ASMK)
+  -> global GN backend                    ->  trajectory/PLY export
+
+The reference's `single_thread: True` eval mode (backend solved synchronously
+after each keyframe, SURVEY.md §4.2) is the semantics implemented here, which
+makes runs deterministic by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monst3r_slam_tpu.core import lie
+from monst3r_slam_tpu.models import mast3r as model_api
+from monst3r_slam_tpu.models.config import ModelConfig
+from monst3r_slam_tpu.ops import matching
+from monst3r_slam_tpu.slam import retrieval as retrieval_mod
+from monst3r_slam_tpu.slam import tracker as tracker_mod
+from monst3r_slam_tpu.slam.backend import BackendConfig
+from monst3r_slam_tpu.slam.factor_graph import FactorGraph
+from monst3r_slam_tpu.slam.frame import (
+    Frame,
+    KeyframeMemory,
+    Mode,
+    fuse_pointmap,
+    kf_append,
+    kf_get,
+    kf_set,
+    kf_update_poses,
+    make_keyframe_memory,
+)
+
+
+def tracking_config_from_dict(cfg: dict) -> tracker_mod.TrackingConfig:
+    t = cfg.get("tracking", {})
+    return tracker_mod.TrackingConfig(
+        min_match_frac=t.get("min_match_frac", 0.05),
+        max_iters=int(t.get("max_iters", 50)),
+        C_conf=t.get("C_conf", 0.0),
+        Q_conf=t.get("Q_conf", 1.5),
+        rel_error=t.get("rel_error", 1e-3),
+        delta_norm=t.get("delta_norm", 1e-3),
+        huber=t.get("huber", 1.345),
+        match_frac_thresh=t.get("match_frac_thresh", 0.333),
+        sigma_ray=t.get("sigma_ray", 0.003),
+        sigma_dist=t.get("sigma_dist", 10.0),
+        sigma_pixel=t.get("sigma_pixel", 1.0),
+        sigma_depth=t.get("sigma_depth", 10.0),
+        pixel_border=t.get("pixel_border", -10.0),
+        depth_eps=t.get("depth_eps", 1e-6),
+        filtering_mode=t.get("filtering_mode", "weighted_pointmap"),
+    )
+
+
+def backend_config_from_dict(cfg: dict) -> BackendConfig:
+    b = cfg.get("local_opt", {})
+    return BackendConfig(
+        pin=int(b.get("pin", 1)),
+        C_conf=b.get("C_conf", 0.0),
+        Q_conf=b.get("Q_conf", 1.5),
+        max_iters=int(b.get("max_iters", 10)),
+        sigma_ray=b.get("sigma_ray", 0.003),
+        sigma_dist=b.get("sigma_dist", 10.0),
+        sigma_pixel=b.get("sigma_pixel", 1.0),
+        sigma_depth=b.get("sigma_depth", 10.0),
+        delta_norm=b.get("delta_norm", 1e-8),
+        pixel_border=b.get("pixel_border", -10.0),
+        depth_eps=b.get("depth_eps", 1e-6),
+    )
+
+
+def matching_config_from_dict(cfg: dict) -> matching.MatchingConfig:
+    m = cfg.get("matching", {})
+    return matching.MatchingConfig(
+        max_iter=int(m.get("max_iter", 10)),
+        lambda_init=m.get("lambda_init", 1e-8),
+        convergence_thresh=m.get("convergence_thresh", 1e-6),
+        dist_thresh=m.get("dist_thresh", 0.1),
+        radius=int(m.get("radius", 3)),
+        dilation_max=int(m.get("dilation_max", 5)),
+    )
+
+
+@dataclasses.dataclass
+class SLAMSystem:
+    """Holds model params + SLAM state and drives per-frame processing."""
+
+    params: dict
+    model_cfg: ModelConfig
+    cfg: dict
+    img_size: tuple  # (h, w) of resized frames
+    K: Optional[jax.Array] = None
+    retrieval_params: Optional[dict] = None
+    retrieval_db: Optional[retrieval_mod.ASMKDatabase] = None
+    kf_capacity: int = 512
+
+    def __post_init__(self):
+        h, w = self.img_size
+        self.hw = h * w
+        self.use_calib = bool(self.cfg.get("use_calib", False))
+        self.track_cfg = tracking_config_from_dict(self.cfg)
+        self.backend_cfg = backend_config_from_dict(self.cfg)
+        self.match_cfg = matching_config_from_dict(self.cfg)
+        self.mem = make_keyframe_memory(
+            self.kf_capacity, h, w, self.model_cfg.enc_dim, self.model_cfg.patch_size
+        )
+        self.graph = FactorGraph(self.hw)
+        self.mode = Mode.INIT
+        self.idx_f2k: Optional[jax.Array] = None  # warm-start for the matcher
+        self.frame_poses: List[np.ndarray] = []  # per input frame (full traj)
+        self.frame_ids: List[int] = []
+        self.last_T_WC = np.asarray(lie.sim3_identity())
+        self.retr_cfg = self.cfg.get("retrieval", {"k": 3, "min_thresh": 5e-3})
+        self.reloc_cfg = self.cfg.get("reloc", {"min_match_frac": 0.3, "strict": True})
+        self.filtering_mode = self.track_cfg.filtering_mode
+        self.timestamps: List = []
+
+    # ------------------------------------------------------------------
+    # Model wrappers
+    # ------------------------------------------------------------------
+
+    def encode(self, img_nhwc: jax.Array):
+        return model_api.encode(self.params, self.model_cfg, img_nhwc)
+
+    def _decode_pair(self, feat_i, pos_i, feat_j, pos_j):
+        return model_api.decode(
+            self.params, self.model_cfg, feat_i, pos_i, feat_j, pos_j, self.img_size
+        )
+
+    # ------------------------------------------------------------------
+    # Frame lifecycle
+    # ------------------------------------------------------------------
+
+    def make_frame(self, frame_id: int, img_np: np.ndarray) -> Frame:
+        img = jnp.asarray(img_np)  # (h, w, 3) normalized
+        feat, pos = self.encode(img[None])
+        return Frame(
+            frame_id=jnp.asarray(frame_id, jnp.int32),
+            img=img,
+            T_WC=jnp.asarray(self.last_T_WC),
+            X_canon=jnp.zeros((self.hw, 3)),
+            C=jnp.zeros((self.hw, 1)),
+            N=jnp.zeros((), jnp.int32),
+            N_updates=jnp.zeros((), jnp.int32),
+            feat=feat[0],
+            pos=pos[0],
+        )
+
+    def _mono_init(self, frame: Frame) -> Frame:
+        out = model_api.inference_mono(
+            self.params, self.model_cfg, frame.feat[None], frame.pos[None], self.img_size
+        )
+        X = out.X1[0].reshape(self.hw, 3)
+        C = out.C1[0].reshape(self.hw, 1)
+        X_f, C_f, N_f = fuse_pointmap(frame.X_canon, frame.C, frame.N, X, C, self.filtering_mode)
+        return dataclasses.replace(frame, X_canon=X_f, C=C_f, N=N_f)
+
+    # ------------------------------------------------------------------
+    # Retrieval
+    # ------------------------------------------------------------------
+
+    def _retrieve(self, frame: Frame, add_after_query: bool) -> List[int]:
+        if self.retrieval_db is None:
+            return []
+        feats = retrieval_mod.prep_features(
+            self.retrieval_params, frame.feat[None]
+        )
+        return self.retrieval_db.update(
+            np.asarray(feats[0]),
+            add_after_query=add_after_query,
+            k=int(self.retr_cfg.get("k", 3)),
+            min_thresh=float(self.retr_cfg.get("min_thresh", 5e-3)),
+        )
+
+    # ------------------------------------------------------------------
+    # Factor graph edges (global_opt.py:30-102 add_factors)
+    # ------------------------------------------------------------------
+
+    def add_factors(self, kf_i_list: List[int], kf_j_list: List[int], min_match_frac, is_reloc=False) -> bool:
+        added = False
+        for i, j in zip(kf_i_list, kf_j_list):
+            feat_i, pos_i = self.mem.feat[i][None], self.mem.pos[i][None]
+            feat_j, pos_j = self.mem.feat[j][None], self.mem.pos[j][None]
+            out_ij, out_ji = model_api.inference_sym(
+                self.params, self.model_cfg, feat_i, pos_i, feat_j, pos_j, self.img_size
+            )
+            # out_ij: (Xii, Xji); out_ji: (Xjj, Xij)
+            idx_i2j, valid_j = matching.match(
+                out_ij.X1, out_ij.X2, out_ij.D1, out_ij.D2, cfg=self.match_cfg
+            )
+            idx_j2i, valid_i = matching.match(
+                out_ji.X1, out_ji.X2, out_ji.D1, out_ji.D2, cfg=self.match_cfg
+            )
+            Qii = out_ij.Q1.reshape(1, -1, 1)
+            Qji = out_ij.Q2.reshape(1, -1, 1)
+            Qjj = out_ji.Q1.reshape(1, -1, 1)
+            Qij = out_ji.Q2.reshape(1, -1, 1)
+            Qj = jnp.sqrt(jnp.take_along_axis(Qii, idx_i2j[..., None], axis=1) * Qji)
+            Qi = jnp.sqrt(jnp.take_along_axis(Qjj, idx_j2i[..., None], axis=1) * Qij)
+
+            Q_conf = self.backend_cfg.Q_conf
+            valid_jq = valid_j & (Qj > Q_conf)
+            valid_iq = valid_i & (Qi > Q_conf)
+            frac_j = float(jnp.mean(valid_jq.astype(jnp.float32)))
+            frac_i = float(jnp.mean(valid_iq.astype(jnp.float32)))
+
+            consecutive = i == j - 1
+            invalid = (min(frac_j, frac_i) < min_match_frac) and not consecutive
+            if invalid and is_reloc:
+                return False
+            if invalid:
+                continue
+            self.graph.add_edge_pair(
+                i, j,
+                idx_i2j[0], valid_j[0, :, 0], Qj[0, :, 0],
+                idx_j2i[0], valid_i[0, :, 0], Qi[0, :, 0],
+            )
+            added = True
+        return added
+
+    def solve_backend(self):
+        self.mem = self.graph.solve(
+            self.mem,
+            self.backend_cfg,
+            use_calib=self.use_calib,
+            K=self.K,
+            img_size=self.img_size,
+        )
+
+    def backend_step(self, kf_idx: int, frame: Frame):
+        """Graph construction for a new keyframe: consecutive + retrieval
+        edges, then a global solve (run_backend, main.py:84-106)."""
+        retrieved = self._retrieve(frame, add_after_query=True)
+        kf_i = [idx for idx in retrieved if idx < kf_idx - 1]
+        ii = kf_i + ([kf_idx - 1] if kf_idx > 0 else [])
+        jj = [kf_idx] * len(ii)
+        if ii:
+            self.add_factors(
+                ii, jj, self.cfg.get("local_opt", {}).get("min_match_frac", 0.1)
+            )
+        self.solve_backend()
+
+    # ------------------------------------------------------------------
+    # Relocalization (main.py:29-78)
+    # ------------------------------------------------------------------
+
+    def relocalize(self, frame: Frame) -> bool:
+        retrieved = self._retrieve(frame, add_after_query=False)
+        if not retrieved:
+            return False
+        kf_idx = int(self.mem.count)
+        frame = dataclasses.replace(frame, T_WC=self.mem.T_WC[retrieved[0]])
+        self.mem = kf_append(self.mem, frame)
+        ok = self.add_factors(
+            [retrieved[0]],
+            [kf_idx],
+            self.reloc_cfg.get("min_match_frac", 0.3),
+            is_reloc=self.reloc_cfg.get("strict", True),
+        )
+        if ok:
+            # Seed pose from matched keyframe and solve
+            self._retrieve(frame, add_after_query=True)
+            self.solve_backend()
+            self.last_T_WC = np.asarray(self.mem.T_WC[kf_idx])
+            return True
+        # Roll back the tentative keyframe (add-then-maybe-pop hazard noted
+        # at main_monster_slam.py:29-31 — trivial here: functional state)
+        self.mem = dataclasses.replace(self.mem, count=self.mem.count - 1)
+        return False
+
+    # ------------------------------------------------------------------
+    # Main per-frame step
+    # ------------------------------------------------------------------
+
+    def process_frame(self, frame_id: int, timestamp, img_np: np.ndarray):
+        self.timestamps.append(timestamp)
+        frame = self.make_frame(frame_id, img_np)
+
+        if self.mode == Mode.INIT:
+            frame = self._mono_init(frame)
+            self.mem = kf_append(self.mem, frame)
+            self._retrieve(frame, add_after_query=True)
+            self.mode = Mode.TRACKING
+            self._record_pose(frame_id, frame.T_WC)
+            return
+
+        if self.mode == Mode.RELOC:
+            frame = self._mono_init(frame)
+            if self.relocalize(frame):
+                self.mode = Mode.TRACKING
+            self._record_pose(frame_id, jnp.asarray(self.last_T_WC))
+            return
+
+        # TRACKING
+        kf_idx = int(self.mem.count) - 1
+        kf = kf_get(self.mem, kf_idx)
+        out = self._decode_pair(
+            frame.feat[None], frame.pos[None], kf.feat[None], kf.pos[None]
+        )
+        Xff = out.X1.reshape(1, *self.img_size, 3)
+        Xkf = out.X2.reshape(1, *self.img_size, 3)
+        Dff = out.D1
+        Dkf = out.D2
+        idx_f2k, valid_match_k = matching.match(
+            Xff, Xkf, Dff, Dkf, idx_1_to_2_init=self.idx_f2k, cfg=self.match_cfg
+        )
+        self.idx_f2k = idx_f2k
+
+        # Fuse frame pointmap (tracker.py:44)
+        X_new = out.X1.reshape(self.hw, 3)
+        C_new = out.C1.reshape(self.hw, 1)
+        Xf, Cf, Nf = fuse_pointmap(
+            frame.X_canon, frame.C, frame.N, X_new, C_new, self.filtering_mode
+        )
+        frame = dataclasses.replace(frame, X_canon=Xf, C=Cf, N=Nf)
+
+        res = tracker_mod.track_pose(
+            self.track_cfg,
+            self.img_size,
+            self.use_calib,
+            idx_f2k[0],
+            valid_match_k[0],
+            out.Q1.reshape(self.hw, 1),
+            out.Q2.reshape(self.hw, 1),
+            frame.X_canon,
+            frame.get_average_conf(),
+            kf.X_canon,
+            kf.get_average_conf(),
+            frame.T_WC,
+            kf.T_WC,
+            self.K,
+        )
+
+        if bool(res.low_match) or bool(res.solver_failed):
+            self.mode = Mode.RELOC
+            self.idx_f2k = None
+            self._record_pose(frame_id, jnp.asarray(self.last_T_WC))
+            return
+
+        frame = dataclasses.replace(frame, T_WC=res.T_WCf)
+        self.last_T_WC = np.asarray(res.T_WCf)
+
+        # Update keyframe pointmap with frame observation (tracker.py:96-100)
+        Xkk = lie.sim3_act(res.T_CkCf, out.X2.reshape(self.hw, 3))
+        Ckf = out.C2.reshape(self.hw, 1)
+        Xk_f, Ck_f, Nk_f = fuse_pointmap(
+            self.mem.X_canon[kf_idx], self.mem.C[kf_idx], self.mem.N[kf_idx],
+            Xkk, Ckf, self.filtering_mode,
+        )
+        self.mem = dataclasses.replace(
+            self.mem,
+            X_canon=self.mem.X_canon.at[kf_idx].set(Xk_f),
+            C=self.mem.C.at[kf_idx].set(Ck_f),
+            N=self.mem.N.at[kf_idx].set(Nk_f),
+        )
+
+        if bool(res.new_kf):
+            self.idx_f2k = None
+            new_idx = int(self.mem.count)
+            self.mem = kf_append(self.mem, frame)
+            self.backend_step(new_idx, frame)
+            self.last_T_WC = np.asarray(self.mem.T_WC[new_idx])
+
+        self._record_pose(frame_id, jnp.asarray(self.last_T_WC))
+
+    def _record_pose(self, frame_id: int, T_WC: jax.Array):
+        self.frame_ids.append(frame_id)
+        self.frame_poses.append(np.asarray(T_WC))
+
+    # ------------------------------------------------------------------
+    # Export
+    # ------------------------------------------------------------------
+
+    def keyframe_trajectory(self):
+        n = int(self.mem.count)
+        return np.asarray(self.mem.T_WC[:n]), np.asarray(self.mem.frame_id[:n])
+
+    def full_trajectory(self):
+        return self.frame_ids, np.stack(self.frame_poses) if self.frame_poses else np.zeros((0, 8))

@@ -1,0 +1,114 @@
+"""Integration smoke test: full SLAM pipeline on a tiny model + synthetic video."""
+
+import numpy as np
+import jax
+import pytest
+
+from monst3r_slam_tpu.app.config import load_config
+from monst3r_slam_tpu.app.pipeline import SLAMSystem
+from monst3r_slam_tpu.models.config import TINY
+from monst3r_slam_tpu.models.init import init_params
+from monst3r_slam_tpu.slam import retrieval as retrieval_mod
+from monst3r_slam_tpu.slam.frame import Mode
+
+
+H, W = 64, 80
+
+
+def synth_video(n, h=H, w=W, seed=0):
+    """Smooth moving pattern (normalized to ImgNorm range)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = []
+    for i in range(n):
+        img = np.stack(
+            [
+                np.sin(0.1 * xx + 0.3 * i),
+                np.cos(0.13 * yy - 0.2 * i),
+                np.sin(0.07 * (xx + yy) + 0.1 * i),
+            ],
+            axis=-1,
+        )
+        frames.append(img.astype(np.float32))
+    return frames
+
+
+@pytest.fixture(scope="module")
+def slam():
+    cfg = load_config("config/base.yaml")
+    # Relax gates: random weights produce arbitrary confidences
+    cfg["tracking"]["Q_conf"] = -1e9
+    cfg["tracking"]["C_conf"] = -1e9
+    cfg["tracking"]["min_match_frac"] = 0.0
+    cfg["local_opt"]["Q_conf"] = -1e9
+    cfg["local_opt"]["min_match_frac"] = 0.0
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    retr_params = retrieval_mod.init_retrieval_params(
+        jax.random.PRNGKey(1), TINY.enc_dim, hdims=(32,)
+    )
+    db = retrieval_mod.ASMKDatabase(
+        retrieval_mod.make_random_codebook(jax.random.PRNGKey(2), 256, 32)
+    )
+    return SLAMSystem(
+        params=params,
+        model_cfg=TINY,
+        cfg=cfg,
+        img_size=(H, W),
+        retrieval_params=retr_params,
+        retrieval_db=db,
+        kf_capacity=16,
+    )
+
+
+def test_pipeline_runs(slam):
+    frames = synth_video(6)
+    for i, img in enumerate(frames):
+        slam.process_frame(i, float(i) / 30.0, img)
+    assert len(slam.frame_poses) == 6
+    assert int(slam.mem.count) >= 1
+    # All recorded poses are finite
+    poses = np.stack(slam.frame_poses)
+    assert np.isfinite(poses).all()
+    # Quaternions stay normalized
+    qn = np.linalg.norm(poses[:, 3:7], axis=-1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-4)
+
+
+def test_pipeline_export(tmp_path, slam):
+    from monst3r_slam_tpu.app import evaluate
+
+    T_kfs, kf_ids = slam.keyframe_trajectory()
+    timestamps = [f"{i/30.0:.6f}" for i in range(len(slam.frame_poses))]
+    evaluate.save_traj(tmp_path, "kf.txt", timestamps, T_kfs, kf_ids)
+    data = np.loadtxt(tmp_path / "kf.txt")
+    data = np.atleast_2d(data)
+    assert data.shape[1] == 8
+
+    frame_ids, T_all = slam.full_trajectory()
+    evaluate.save_full_traj(tmp_path, "full.txt", timestamps, T_all)
+    full = np.loadtxt(tmp_path / "full.txt")
+    assert full.shape == (6, 8)
+
+    # PLY export
+    evaluate.save_ply(tmp_path / "cloud.ply", np.zeros((10, 3)), np.zeros((10, 3)))
+    raw = (tmp_path / "cloud.ply").read_bytes()
+    assert raw.startswith(b"ply")
+    assert b"element vertex 10" in raw
+
+
+def test_ate_rmse_identity():
+    from monst3r_slam_tpu.app.evaluate import ate_rmse
+
+    t = np.arange(20, dtype=np.float64)
+    xyz = np.cumsum(np.random.default_rng(3).standard_normal((20, 3)), axis=0)
+    rmse, n = ate_rmse(t, xyz, t, xyz)
+    assert n == 20
+    assert rmse < 1e-9
+
+    # A Sim(3)-transformed trajectory aligns to zero error
+    import scipy.spatial.transform as sst
+
+    R = sst.Rotation.from_euler("xyz", [0.3, -0.2, 0.5]).as_matrix()
+    xyz2 = 1.7 * (xyz @ R.T) + np.asarray([3.0, -2.0, 1.0])
+    rmse, _ = ate_rmse(t, xyz, t, xyz2)
+    assert rmse < 1e-6
