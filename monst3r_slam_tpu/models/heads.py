@@ -36,7 +36,9 @@ def reg_dense_depth(xyz: jax.Array, mode) -> jax.Array:
     if name == "square":
         return xyz * jnp.square(d)
     if name == "exp":
-        return xyz * jnp.expm1(d)
+        # Clip keeps f32 finite under untrained weights (expm1(40) ~ 2e17,
+        # still squarable in f32); trained checkpoints never reach it.
+        return xyz * jnp.expm1(jnp.minimum(d, 40.0))
     raise ValueError(f"bad depth mode {name}")
 
 

@@ -110,7 +110,12 @@ def _dpt(key, cfg: ModelConfig):
         "head": {
             "conv1": _conv(next(ks), 3, 3, fd, fd // 2),
             "conv2": _conv(next(ks), 3, 3, fd // 2, cfg.last_dim),
-            "conv3": _conv(next(ks), 1, 1, cfg.last_dim, cfg.head_out_channels),
+            # Near-zero final conv keeps untrained outputs in a sane range
+            # (pts ~ 0, conf ~ vmin+1) — random init only; checkpoints override.
+            "conv3": {
+                "w": 0.01 * jax.random.normal(next(ks), (1, 1, cfg.last_dim, cfg.head_out_channels)),
+                "b": jnp.zeros((cfg.head_out_channels,)),
+            },
         },
     }
 
