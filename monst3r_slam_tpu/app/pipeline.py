@@ -106,6 +106,9 @@ class SLAMSystem:
     retrieval_params: Optional[dict] = None
     retrieval_db: Optional[retrieval_mod.ASMKDatabase] = None
     kf_capacity: int = 512
+    # Dynamic pipeline (main_monster_slam): MonST3R params for X/C; `params`
+    # then acts as the MASt3R decoder for D/Q (dynamic/inference.py).
+    dual: Optional[object] = None
 
     def __post_init__(self):
         h, w = self.img_size
@@ -127,15 +130,29 @@ class SLAMSystem:
         self.reloc_cfg = self.cfg.get("reloc", {"min_match_frac": 0.3, "strict": True})
         self.filtering_mode = self.track_cfg.filtering_mode
         self.timestamps: List = []
+        self.use_dynamic_mask = bool(self.cfg.get("use_dynamic_mask", False))
+        self.dyn_threshold = float(self.cfg.get("dynamic_mask_threshold", 0.35))
+        self.dyn_refine = bool(self.cfg.get("refine_dynamic_mask_with_sam2", False))
+        self.kf_uimgs: List[Optional[np.ndarray]] = []  # host uint8 keyframe images
+        self.cur_uimg: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     # Model wrappers
     # ------------------------------------------------------------------
 
     def encode(self, img_nhwc: jax.Array):
+        if self.dual is not None:
+            # Dynamic pipeline: frames cache MonST3R encoder features
+            return model_api.encode(self.dual.monst3r, self.dual.monst3r_cfg, img_nhwc)
         return model_api.encode(self.params, self.model_cfg, img_nhwc)
 
     def _decode_pair(self, feat_i, pos_i, feat_j, pos_j):
+        if self.dual is not None:
+            from monst3r_slam_tpu.dynamic.inference import monst3r_asymmetric_inference
+
+            return monst3r_asymmetric_inference(
+                self.dual, feat_i, pos_i, feat_j, pos_j, self.img_size
+            )
         return model_api.decode(
             self.params, self.model_cfg, feat_i, pos_i, feat_j, pos_j, self.img_size
         )
@@ -160,8 +177,8 @@ class SLAMSystem:
         )
 
     def _mono_init(self, frame: Frame) -> Frame:
-        out = model_api.inference_mono(
-            self.params, self.model_cfg, frame.feat[None], frame.pos[None], self.img_size
+        out = self._decode_pair(
+            frame.feat[None], frame.pos[None], frame.feat[None], frame.pos[None]
         )
         X = out.X1[0].reshape(self.hw, 3)
         C = out.C1[0].reshape(self.hw, 1)
@@ -194,9 +211,20 @@ class SLAMSystem:
         for i, j in zip(kf_i_list, kf_j_list):
             feat_i, pos_i = self.mem.feat[i][None], self.mem.pos[i][None]
             feat_j, pos_j = self.mem.feat[j][None], self.mem.pos[j][None]
-            out_ij, out_ji = model_api.inference_sym(
-                self.params, self.model_cfg, feat_i, pos_i, feat_j, pos_j, self.img_size
+            # Both decode orders in ONE batched pass (reference runs 4 serial
+            # decoder calls per edge, mast3r_utils.py:87-120)
+            out2 = self._decode_pair(
+                jnp.concatenate([feat_i, feat_j]),
+                jnp.concatenate([pos_i, pos_j]),
+                jnp.concatenate([feat_j, feat_i]),
+                jnp.concatenate([pos_j, pos_i]),
             )
+
+            def half(t, k):
+                return None if t is None else t[k : k + 1]
+
+            out_ij = model_api.PairOutput(*[half(t, 0) for t in out2])
+            out_ji = model_api.PairOutput(*[half(t, 1) for t in out2])
             # out_ij: (Xii, Xji); out_ji: (Xjj, Xij)
             idx_i2j, valid_j = matching.match(
                 out_ij.X1, out_ij.X2, out_ij.D1, out_ij.D2, cfg=self.match_cfg
@@ -264,6 +292,7 @@ class SLAMSystem:
         kf_idx = int(self.mem.count)
         frame = dataclasses.replace(frame, T_WC=self.mem.T_WC[retrieved[0]])
         self.mem = kf_append(self.mem, frame)
+        self._set_kf_uimg(kf_idx, self.cur_uimg)
         ok = self.add_factors(
             [retrieved[0]],
             [kf_idx],
@@ -285,13 +314,15 @@ class SLAMSystem:
     # Main per-frame step
     # ------------------------------------------------------------------
 
-    def process_frame(self, frame_id: int, timestamp, img_np: np.ndarray):
+    def process_frame(self, frame_id: int, timestamp, img_np: np.ndarray, uimg=None):
         self.timestamps.append(timestamp)
+        self.cur_uimg = uimg
         frame = self.make_frame(frame_id, img_np)
 
         if self.mode == Mode.INIT:
             frame = self._mono_init(frame)
             self.mem = kf_append(self.mem, frame)
+            self._set_kf_uimg(int(self.mem.count) - 1, uimg)
             self._retrieve(frame, add_after_query=True)
             self.mode = Mode.TRACKING
             self._record_pose(frame_id, frame.T_WC)
@@ -310,6 +341,35 @@ class SLAMSystem:
         out = self._decode_pair(
             frame.feat[None], frame.pos[None], kf.feat[None], kf.pos[None]
         )
+
+        # Dynamic-object filtering (tracker2.py:79-122): zero frame-side
+        # confidences/descriptors on pixels whose optical flow disagrees with
+        # camera-ego-motion flow.
+        if self.use_dynamic_mask and self.K is not None and uimg is not None:
+            kf_uimg = self.kf_uimgs[kf_idx] if kf_idx < len(self.kf_uimgs) else None
+            if kf_uimg is not None:
+                from monst3r_slam_tpu.dynamic import mask as dyn
+
+                depth_i = out.X1[0, ..., 2]
+                m = dyn.get_dynamic_mask(
+                    uimg, kf_uimg, frame.T_WC, kf.T_WC, depth_i, self.K,
+                    threshold=self.dyn_threshold, refine=self.dyn_refine,
+                )
+                if m.any():
+                    mask_flat = jnp.asarray(m.reshape(-1))
+                    _, C1m, D1m, Q1m = dyn.apply_dynamic_mask_to_pointmaps(
+                        out.X1.reshape(self.hw, 3),
+                        out.C1.reshape(self.hw, 1),
+                        out.D1.reshape(self.hw, -1),
+                        out.Q1.reshape(self.hw, 1),
+                        mask_flat,
+                    )
+                    out = out._replace(
+                        C1=C1m.reshape(out.C1.shape),
+                        D1=D1m.reshape(out.D1.shape),
+                        Q1=Q1m.reshape(out.Q1.shape),
+                    )
+
         Xff = out.X1.reshape(1, *self.img_size, 3)
         Xkf = out.X2.reshape(1, *self.img_size, 3)
         Dff = out.D1
@@ -371,10 +431,16 @@ class SLAMSystem:
             self.idx_f2k = None
             new_idx = int(self.mem.count)
             self.mem = kf_append(self.mem, frame)
+            self._set_kf_uimg(new_idx, uimg)
             self.backend_step(new_idx, frame)
             self.last_T_WC = np.asarray(self.mem.T_WC[new_idx])
 
         self._record_pose(frame_id, jnp.asarray(self.last_T_WC))
+
+    def _set_kf_uimg(self, idx: int, uimg):
+        while len(self.kf_uimgs) <= idx:
+            self.kf_uimgs.append(None)
+        self.kf_uimgs[idx] = uimg
 
     def _record_pose(self, frame_id: int, T_WC: jax.Array):
         self.frame_ids.append(frame_id)

@@ -1,0 +1,175 @@
+"""Dynamic-object masking: optical flow vs ego-motion flow.
+
+Reimplements the reference `get_dynamic_mask` (`monst3r_utils.py:512-704`):
+compare dense optical flow between consecutive frames against the flow
+induced purely by camera ego-motion (MonST3R mono depth + relative Sim(3)
+pose through the pinhole model — the `DepthBasedWarping` equivalent), min-max
+normalize the error map, threshold at `dynamic_mask_threshold` (0.35), and
+optionally refine with per-region prompts.
+
+Flow backend: the reference uses RAFT with the
+`Tartan-C-T-TSKH-spring540x960-M.pth` checkpoint (`tracker2.py:35-38`), whose
+weights and vendored code are absent from this snapshot (the thirdparty
+submodule is empty, SURVEY.md §0). `compute_flow` therefore dispatches to a
+pluggable estimator; the default is OpenCV DIS optical flow on the host
+(dense, real-time) with the same downstream mask math. A JAX RAFT port can be
+slotted in via `set_flow_estimator`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monst3r_slam_tpu.core import lie
+
+
+def ego_motion_flow(
+    T_WCi: jax.Array,
+    T_WCj: jax.Array,
+    depth_i: jax.Array,  # (h, w)
+    K: jax.Array,  # (3, 3)
+) -> jax.Array:
+    """Flow (h, w, 2) from frame i to j induced by camera motion alone.
+
+    p_j = K (R_ji (d * K^-1 p_i) + t_ji);  flow = p_j - p_i
+    (DepthBasedWarping semantics at monst3r_utils.py:605-610, with the Sim3
+    relative pose reduced to its 4x4 matrix action).
+    """
+    h, w = depth_i.shape
+    T_ji = lie.sim3_rel(T_WCj, T_WCi)  # j <- i
+    M = lie.sim3_matrix(T_ji)  # (4, 4); rotation block includes scale
+    R = M[:3, :3]
+    t = M[:3, 3]
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    x = (u - cx) / fx
+    y = (v - cy) / fy
+    rays = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)  # (h, w, 3)
+    P_i = depth_i[..., None] * rays
+    P_j = P_i @ R.T + t
+    z = jnp.maximum(P_j[..., 2], 1e-6)
+    u_j = fx * P_j[..., 0] / z + cx
+    v_j = fy * P_j[..., 1] / z + cy
+    return jnp.stack([u_j - u, v_j - v], axis=-1)
+
+
+def flow_error_mask(
+    flow: jax.Array,  # (h, w, 2) measured optical flow
+    ego_flow: jax.Array,  # (h, w, 2)
+    threshold: float = 0.35,
+) -> jax.Array:
+    """Min-max-normalized flow-error map thresholded to a boolean mask
+    (monst3r_utils.py:627-637)."""
+    err = jnp.linalg.norm(flow - ego_flow, axis=-1)
+    lo = jnp.min(err)
+    hi = jnp.max(err)
+    norm = jnp.where(hi > lo, (err - lo) / (hi - lo), jnp.zeros_like(err))
+    return norm > threshold
+
+
+# ---------------------------------------------------------------------------
+# Flow estimation backend (host)
+# ---------------------------------------------------------------------------
+
+_flow_estimator: Optional[Callable] = None
+
+
+def set_flow_estimator(fn: Callable[[np.ndarray, np.ndarray], np.ndarray]):
+    """Install a custom flow backend: fn(img_i, img_j) -> (h, w, 2) float32.
+    Images are HWC uint8 RGB."""
+    global _flow_estimator
+    _flow_estimator = fn
+
+
+def compute_flow(img_i: np.ndarray, img_j: np.ndarray) -> np.ndarray:
+    """Dense optical flow i -> j. Defaults to OpenCV DIS (see module doc)."""
+    if _flow_estimator is not None:
+        return np.asarray(_flow_estimator(img_i, img_j), np.float32)
+    import cv2
+
+    g_i = cv2.cvtColor(img_i, cv2.COLOR_RGB2GRAY)
+    g_j = cv2.cvtColor(img_j, cv2.COLOR_RGB2GRAY)
+    dis = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+    return np.asarray(dis.calc(g_i, g_j, None), np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Region prompts / refinement hooks
+# ---------------------------------------------------------------------------
+
+
+def connected_component_centroids(
+    mask: np.ndarray, min_area: int = 20
+) -> List[Tuple[int, int]]:
+    """(x, y) centroids of connected regions >= min_area px
+    (monst3r_utils.py:651-661, skimage -> scipy.ndimage)."""
+    from scipy import ndimage
+
+    labeled, n = ndimage.label(np.asarray(mask, bool))
+    out = []
+    for idx in range(1, n + 1):
+        ys, xs = np.nonzero(labeled == idx)
+        if ys.size >= min_area:
+            out.append((int(xs.mean()), int(ys.mean())))
+    return out
+
+
+_mask_refiner: Optional[Callable] = None
+
+
+def set_mask_refiner(fn: Callable):
+    """Install an optional segmentation-based refiner with signature
+    fn(uimg_uint8, point_prompts) -> bool mask (h, w). The reference uses a
+    SAM2 video predictor here (monst3r_utils.py:640-703); refinement is
+    config-gated and off by default in this build."""
+    global _mask_refiner
+    _mask_refiner = fn
+
+
+def get_dynamic_mask(
+    img_i_u8: np.ndarray,
+    img_j_u8: np.ndarray,
+    T_WCi,
+    T_WCj,
+    depth_i,
+    K,
+    threshold: float = 0.35,
+    refine: bool = False,
+    min_area: int = 20,
+) -> np.ndarray:
+    """Full dynamic-mask pipeline for a frame pair. Returns bool (h, w).
+
+    Requires calibration K (the reference returns an empty mask without it,
+    monst3r_utils.py:538-541).
+    """
+    h, w = img_i_u8.shape[:2]
+    if K is None:
+        return np.zeros((h, w), bool)
+    flow = compute_flow(img_i_u8, img_j_u8)
+    ego = np.asarray(ego_motion_flow(T_WCi, T_WCj, depth_i, K))
+    mask = np.asarray(flow_error_mask(jnp.asarray(flow), jnp.asarray(ego), threshold))
+    if refine and _mask_refiner is not None and mask.any():
+        prompts = connected_component_centroids(mask, min_area)
+        if prompts:
+            refined = _mask_refiner(img_i_u8, prompts)
+            if refined is not None and refined.shape == mask.shape:
+                mask = np.asarray(refined, bool)
+    return mask
+
+
+def apply_dynamic_mask_to_pointmaps(X, C, D, Q, mask_flat):
+    """Zero confidences/descriptors on dynamic pixels
+    (monst3r_utils.py:300-344): C -> 0, Q -> 0, D -> 0; X unchanged."""
+    keep = ~mask_flat
+    C = C * keep[..., None]
+    if Q is not None:
+        Q = Q * keep[..., None]
+    if D is not None:
+        D = D * keep[..., None]
+    return X, C, D, Q
