@@ -286,3 +286,77 @@ def gauss_newton(
     state = (Twc, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf))
     Twc_out, iters, delta = jax.lax.while_loop(cond, body, state)
     return Twc_out, iters
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_poses", "use_calib", "img_size"))
+def _edge_system(
+    Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg: BackendConfig,
+    n_poses: int, use_calib: bool = False, K=None, img_size=None,
+):
+    """One GN linearization: assembled dense (H, g) for the host solver."""
+    calib = (K, img_size[0], img_size[1]) if use_calib else None
+    H, g = _edge_terms(
+        Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg, calib
+    )
+    P = n_poses
+    pin = cfg.pin
+    n_opt = P - pin
+    dim = n_opt * 7
+
+    def opt_idx(a):
+        oi = a - pin
+        return jnp.where((oi < 0) | (~edge_valid), n_opt, oi)
+
+    oi, oj = opt_idx(ii), opt_idx(jj)
+    Hd = jnp.zeros((dim + 7, dim + 7))
+    gd = jnp.zeros((dim + 7,))
+    r7 = jnp.arange(7)
+    for a, b, blk in (
+        (oi, oi, H[:, 0:7, 0:7]),
+        (oi, oj, H[:, 0:7, 7:14]),
+        (oj, oi, H[:, 7:14, 0:7]),
+        (oj, oj, H[:, 7:14, 7:14]),
+    ):
+        rows = a[:, None, None] * 7 + r7[None, :, None]
+        cols = b[:, None, None] * 7 + r7[None, None, :]
+        Hd = Hd.at[rows, cols].add(blk)
+    for a, vec in ((oi, g[:, 0:7]), (oj, g[:, 7:14])):
+        gd = gd.at[a[:, None] * 7 + r7[None, :]].add(vec)
+    return Hd[:dim, :dim], gd[:dim]
+
+
+def gauss_newton_host_solve(
+    Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid,
+    cfg: BackendConfig, n_poses: int, use_calib: bool = False, K=None, img_size=None,
+):
+    """GN loop with the float64 NATIVE host solver (monst3r_slam_tpu.native).
+
+    Same device linearization as `gauss_newton`, but each iteration ships the
+    assembled (H, g) to the host and solves in f64 — the reference's exact
+    GPU-kernel + CPU-Eigen split (gn_kernels.cu:1183-1222), one device<->host
+    round trip per iteration. Use when f32 conditioning is a concern.
+    """
+    import numpy as np
+
+    from monst3r_slam_tpu.native.build import solve_spd
+
+    pin = cfg.pin
+    for _ in range(cfg.max_iters):
+        H, g = _edge_system(
+            Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg,
+            n_poses=n_poses, use_calib=use_calib, K=K, img_size=img_size,
+        )
+        H_np = np.asarray(H, np.float64)
+        g_np = np.asarray(g, np.float64)
+        try:
+            dx = -solve_spd(H_np, g_np, jitter=1e-12)
+        except Exception:
+            break
+        dx = dx.reshape(n_poses - pin, 7)
+        dx_full = jnp.concatenate(
+            [jnp.zeros((pin, 7)), jnp.asarray(dx, jnp.float32)], axis=0
+        )
+        Twc = lie.sim3_retr(Twc, dx_full)
+        if float(np.linalg.norm(dx)) < cfg.delta_norm:
+            break
+    return Twc
