@@ -4,9 +4,12 @@
 Measures the full per-frame SLAM tracking path of the flagship model
 (MASt3R ViT-L, 512x384, bf16 matmuls): encoder + dual decoder + DPT/catMLP
 heads + iterative-projection matching + descriptor refinement + Sim(3) GN
-tracking. This is the hot loop of `main.py` (reference FPS baseline:
-0.16-0.19 end-to-end for the dynamic MonST3R pipeline on a >=12GB CUDA GPU,
-BASELINE.md).
+tracking. Reference baseline: 0.16-0.19 FPS end-to-end for the dynamic
+MonST3R pipeline on a >=12GB CUDA GPU (BASELINE.md).
+
+Timing methodology: the whole K-frame loop runs as ONE jitted `lax.scan`
+with a data dependency between frames, and the result is fetched to host —
+async-dispatch-proof (plain block_until_ready under-reports on this stack).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -16,6 +19,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_FPS = 0.185  # reference committed run logs (BASELINE.md)
 
@@ -38,19 +42,21 @@ def main():
     key = jax.random.PRNGKey(1)
     img = jax.random.normal(key, (1, h, w, 3)) * 0.5
 
-    # Keyframe state (prebuilt once, like the SLAM loop's cached keyframe)
     kf_feat, kf_pos = model_api.encode(params, cfg, img)
     kf_X = jax.random.normal(key, (hw, 3)) + jnp.asarray([0.0, 0.0, 3.0])
     kf_C = jnp.full((hw, 1), 2.0)
     T_WCk = lie.sim3_identity()
 
-    def frame_step(img, kf_feat, kf_pos, kf_X, kf_C, T_WCk, idx_init):
-        feat, pos = model_api.encode(params, cfg, img)
+    def frame_step(carry, _):
+        T_prev, idx_prev = carry
+        # Data dependency: perturb the input image by the previous pose
+        img_t = img + 1e-6 * T_prev[0]
+        feat, pos = model_api.encode(params, cfg, img_t)
         out = model_api.decode(params, cfg, feat, pos, kf_feat, kf_pos, (h, w))
         Xff = out.X1.reshape(1, h, w, 3)
         Xkf = out.X2.reshape(1, h, w, 3)
         idx_f2k, valid_k = matching.match(
-            Xff, Xkf, out.D1, out.D2, idx_1_to_2_init=idx_init, cfg=match_cfg
+            Xff, Xkf, out.D1, out.D2, idx_1_to_2_init=idx_prev, cfg=match_cfg
         )
         res = tracker_mod.track_pose(
             track_cfg, (h, w), False,
@@ -59,20 +65,27 @@ def main():
             out.X1.reshape(hw, 3), out.C1.reshape(hw, 1),
             kf_X, kf_C, T_WCk, T_WCk,
         )
-        return res.T_WCf, idx_f2k
+        return (res.T_WCf, idx_f2k), res.match_frac
 
-    idx_init = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (1, hw))
+    K_FRAMES = 8
 
-    # Warmup / compile
-    T, idx = frame_step(img, kf_feat, kf_pos, kf_X, kf_C, T_WCk, idx_init)
-    jax.block_until_ready((T, idx))
+    @jax.jit
+    def run_frames(T0, idx0):
+        (T, idx), fracs = jax.lax.scan(
+            frame_step, (T0, idx0), None, length=K_FRAMES
+        )
+        return T, fracs
 
-    n_iters = 10
+    idx0 = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (1, hw))
+
+    # Warmup / compile, then fetch to force completion
+    T, fracs = run_frames(T_WCk, idx0)
+    np.asarray(T)
+
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        T, idx = frame_step(img, kf_feat, kf_pos, kf_X, kf_C, T_WCk, idx_init)
-    jax.block_until_ready((T, idx))
-    dt = (time.perf_counter() - t0) / n_iters
+    T, fracs = run_frames(T_WCk, idx0)
+    np.asarray(T), np.asarray(fracs)
+    dt = (time.perf_counter() - t0) / K_FRAMES
     fps = 1.0 / dt
 
     print(json.dumps({

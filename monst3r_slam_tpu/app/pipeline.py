@@ -94,6 +94,25 @@ def matching_config_from_dict(cfg: dict) -> matching.MatchingConfig:
     )
 
 
+def make_matcher(cfg: dict):
+    """Matcher dispatch: 'tiled' (MXU-native, default) or 'lm' (the
+    reference-semantics iterative-projection path)."""
+    mcfg = matching_config_from_dict(cfg)
+    mode = cfg.get("matching", {}).get("mode", "tiled")
+    if mode == "lm":
+        def match_fn(X11, X21, D11, D21, idx_init=None):
+            return matching.match(X11, X21, D11, D21, idx_init, cfg=mcfg)
+    else:
+        from monst3r_slam_tpu.ops import matching_tiled
+
+        tcfg = matching_tiled.TiledConfig()
+
+        def match_fn(X11, X21, D11, D21, idx_init=None):
+            return matching_tiled.match(X11, X21, D11, D21, idx_init, cfg=mcfg, tcfg=tcfg)
+
+    return match_fn
+
+
 @dataclasses.dataclass
 class SLAMSystem:
     """Holds model params + SLAM state and drives per-frame processing."""
@@ -117,6 +136,7 @@ class SLAMSystem:
         self.track_cfg = tracking_config_from_dict(self.cfg)
         self.backend_cfg = backend_config_from_dict(self.cfg)
         self.match_cfg = matching_config_from_dict(self.cfg)
+        self.match_fn = make_matcher(self.cfg)
         self.mem = make_keyframe_memory(
             self.kf_capacity, h, w, self.model_cfg.enc_dim, self.model_cfg.patch_size
         )
@@ -226,11 +246,11 @@ class SLAMSystem:
             out_ij = model_api.PairOutput(*[half(t, 0) for t in out2])
             out_ji = model_api.PairOutput(*[half(t, 1) for t in out2])
             # out_ij: (Xii, Xji); out_ji: (Xjj, Xij)
-            idx_i2j, valid_j = matching.match(
-                out_ij.X1, out_ij.X2, out_ij.D1, out_ij.D2, cfg=self.match_cfg
+            idx_i2j, valid_j = self.match_fn(
+                out_ij.X1, out_ij.X2, out_ij.D1, out_ij.D2
             )
-            idx_j2i, valid_i = matching.match(
-                out_ji.X1, out_ji.X2, out_ji.D1, out_ji.D2, cfg=self.match_cfg
+            idx_j2i, valid_i = self.match_fn(
+                out_ji.X1, out_ji.X2, out_ji.D1, out_ji.D2
             )
             Qii = out_ij.Q1.reshape(1, -1, 1)
             Qji = out_ij.Q2.reshape(1, -1, 1)
@@ -374,8 +394,8 @@ class SLAMSystem:
         Xkf = out.X2.reshape(1, *self.img_size, 3)
         Dff = out.D1
         Dkf = out.D2
-        idx_f2k, valid_match_k = matching.match(
-            Xff, Xkf, Dff, Dkf, idx_1_to_2_init=self.idx_f2k, cfg=self.match_cfg
+        idx_f2k, valid_match_k = self.match_fn(
+            Xff, Xkf, Dff, Dkf, self.idx_f2k
         )
         self.idx_f2k = idx_f2k
 
