@@ -286,7 +286,67 @@ class SLAMSystem:
             use_calib=self.use_calib,
             K=self.K,
             img_size=self.img_size,
+            host_solve=self.cfg.get("local_opt", {}).get("solver", "device") == "host",
         )
+
+    # ------------------------------------------------------------------
+    # SLAM-state checkpointing (new capability; the reference always
+    # restarts from INIT, SURVEY.md §5)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path):
+        import numpy as np
+
+        n = int(self.mem.count)
+        np.savez_compressed(
+            path,
+            kf_frame_id=np.asarray(self.mem.frame_id[:n]),
+            kf_T_WC=np.asarray(self.mem.T_WC[:n]),
+            kf_X=np.asarray(self.mem.X_canon[:n]),
+            kf_C=np.asarray(self.mem.C[:n]),
+            kf_N=np.asarray(self.mem.N[:n]),
+            kf_feat=np.asarray(self.mem.feat[:n]),
+            kf_pos=np.asarray(self.mem.pos[:n]),
+            graph_ii=self.graph.ii[: self.graph.n_edges],
+            graph_jj=self.graph.jj[: self.graph.n_edges],
+            graph_idx=np.asarray(self.graph.idx[: self.graph.n_edges]),
+            graph_valid=np.asarray(self.graph.valid_match[: self.graph.n_edges]),
+            graph_Q=np.asarray(self.graph.Q[: self.graph.n_edges]),
+            frame_poses=np.stack(self.frame_poses) if self.frame_poses else np.zeros((0, 8)),
+            frame_ids=np.asarray(self.frame_ids, np.int64),
+            mode=int(self.mode),
+            last_T_WC=self.last_T_WC,
+        )
+
+    def load_state(self, path):
+        import numpy as np
+
+        data = np.load(path)
+        n = data["kf_T_WC"].shape[0]
+        mem = self.mem
+        for name, key in (
+            ("frame_id", "kf_frame_id"), ("T_WC", "kf_T_WC"), ("X_canon", "kf_X"),
+            ("C", "kf_C"), ("N", "kf_N"), ("feat", "kf_feat"), ("pos", "kf_pos"),
+        ):
+            arr = getattr(mem, name)
+            mem = dataclasses.replace(
+                mem, **{name: arr.at[:n].set(jnp.asarray(data[key]))}
+            )
+        self.mem = dataclasses.replace(mem, count=jnp.asarray(n, jnp.int32))
+        ne = data["graph_ii"].shape[0]
+        self.graph._grow(ne)
+        self.graph.ii[:ne] = data["graph_ii"]
+        self.graph.jj[:ne] = data["graph_jj"]
+        self.graph.idx = self.graph.idx.at[:ne].set(jnp.asarray(data["graph_idx"]))
+        self.graph.valid_match = self.graph.valid_match.at[:ne].set(
+            jnp.asarray(data["graph_valid"])
+        )
+        self.graph.Q = self.graph.Q.at[:ne].set(jnp.asarray(data["graph_Q"]))
+        self.graph.n_edges = ne
+        self.frame_poses = [p for p in data["frame_poses"]]
+        self.frame_ids = [int(i) for i in data["frame_ids"]]
+        self.mode = Mode(int(data["mode"]))
+        self.last_T_WC = data["last_T_WC"]
 
     def backend_step(self, kf_idx: int, frame: Frame):
         """Graph construction for a new keyframe: consecutive + retrieval

@@ -219,6 +219,48 @@ class RGBFiles(MonocularDataset):
         self.timestamps = list(np.arange(len(self.rgb_files)).astype(self.dtype) / 30.0)
 
 
+class RealsenseDataset(MonocularDataset):
+    """Live RealSense capture (dataloader.py:179-232). Requires pyrealsense2
+    (not in this image) — constructing without it raises with guidance."""
+
+    def __init__(self):
+        super().__init__()
+        try:
+            import pyrealsense2 as rs
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "RealsenseDataset requires pyrealsense2; install it or use a "
+                "recorded dataset"
+            ) from e
+        self.pipeline = rs.pipeline()
+        self.h, self.w = 480, 640
+        rs_config = rs.config()
+        rs_config.enable_stream(rs.stream.color, self.w, self.h, rs.format.bgr8, 30)
+        self.profile = self.pipeline.start(rs_config)
+        self.save_results = False
+        self.timestamps = []
+        if self.use_calibration:
+            rgb_profile = rs.video_stream_profile(
+                self.profile.get_stream(rs.stream.color)
+            )
+            intr = rgb_profile.get_intrinsics()
+            self.camera_intrinsics = Intrinsics.from_calib(
+                self.img_size, self.w, self.h,
+                np.asarray([intr.fx, intr.fy, intr.ppx, intr.ppy]),
+            )
+
+    def __len__(self):
+        return 999999
+
+    def read_img(self, idx):
+        import cv2
+
+        frameset = self.pipeline.wait_for_frames()
+        self.timestamps.append(frameset.get_timestamp() / 1000)
+        img = np.asanyarray(frameset.get_color_frame().get_data())
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
 class Webcam(MonocularDataset):
     def __init__(self):
         super().__init__()
@@ -301,6 +343,8 @@ def load_dataset(dataset_path: str) -> MonocularDataset:
         return ETH3DDataset(dataset_path)
     if "7-scenes" in parts:
         return SevenScenesDataset(dataset_path)
+    if "realsense" in parts:
+        return RealsenseDataset()
     if "webcam" in parts:
         return Webcam()
     ext = parts[-1].split(".")[-1]

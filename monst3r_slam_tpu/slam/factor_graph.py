@@ -79,8 +79,12 @@ class FactorGraph:
         use_calib: bool = False,
         K=None,
         img_size=None,
+        host_solve: bool = False,
     ) -> KeyframeMemory:
-        """Run the global GN (global_opt.py:121-213) and write back poses."""
+        """Run the global GN (global_opt.py:121-213) and write back poses.
+
+        host_solve=True routes the linear solves through the native C++ f64
+        solver (config `local_opt.solver: host`)."""
         n_kf = int(mem.count)
         if self.n_edges == 0 or n_kf <= cfg.pin:
             return mem
@@ -102,10 +106,16 @@ class FactorGraph:
         valid_match = self._padded(self.valid_match, E)
         Q = self._padded(self.Q, E)
 
-        Twc_new, _ = backend_mod.gauss_newton(
-            Twc, Xs, Cs, ii, jj, idx, valid_match, Q, edge_valid, cfg,
-            n_poses=P, use_calib=use_calib, K=K, img_size=img_size,
-        )
+        if host_solve:
+            Twc_new = backend_mod.gauss_newton_host_solve(
+                Twc, Xs, Cs, ii, jj, idx, valid_match, Q, edge_valid, cfg,
+                n_poses=P, use_calib=use_calib, K=K, img_size=img_size,
+            )
+        else:
+            Twc_new, _ = backend_mod.gauss_newton(
+                Twc, Xs, Cs, ii, jj, idx, valid_match, Q, edge_valid, cfg,
+                n_poses=P, use_calib=use_calib, K=K, img_size=img_size,
+            )
         return kf_update_poses(mem, Twc_new, jnp.arange(P))
 
     def _padded(self, arr, E):

@@ -1,0 +1,94 @@
+"""Tests for mesh construction and Megatron-style parameter sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from monst3r_slam_tpu.models.config import TINY
+from monst3r_slam_tpu.models.init import init_params
+from monst3r_slam_tpu.parallel import mesh as pmesh
+
+
+def test_make_mesh_factorization():
+    m = pmesh.make_mesh(8)
+    assert m.shape["dp"] * m.shape["tp"] == 8
+    assert m.shape["tp"] == 2  # largest pow2 <= sqrt(8)
+
+
+def test_param_specs():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    specs = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: pmesh.param_spec(path, leaf), params
+    )
+    # Column-parallel qkv: shard output dim (last axis)
+    assert specs["enc_blocks"]["attn"]["qkv"]["w"] == P(None, None, "tp")
+    # Row-parallel proj: shard input dim (second-to-last axis)
+    assert specs["enc_blocks"]["attn"]["proj"]["w"] == P(None, "tp", None)
+    assert specs["enc_blocks"]["mlp"]["fc1"]["w"] == P(None, None, "tp")
+    assert specs["enc_blocks"]["mlp"]["fc2"]["w"] == P(None, "tp", None)
+    # Norms replicated
+    assert specs["enc_norm"]["w"] == P()
+    # Cross-attention q/k/v column-parallel
+    assert specs["dec_blocks"]["cross"]["q"]["w"] == P(None, None, "tp")
+    assert specs["dec_blocks"]["cross"]["proj"]["w"] == P(None, "tp", None)
+
+
+def test_sharded_forward_matches_single_device():
+    """Encoder output is identical under dp x tp sharding."""
+    from monst3r_slam_tpu.models import croco
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 48, 3))
+    feat_ref, _ = croco.encode_image(params, TINY, img, jnp.float32)
+
+    m = pmesh.make_mesh(8)
+    params_s = pmesh.shard_params(params, m)
+    img_s = jax.device_put(img, pmesh.batch_sharding(m))
+    with m:
+        feat_s, _ = jax.jit(
+            lambda p, x: croco.encode_image(p, TINY, x, jnp.float32)
+        )(params_s, img_s)
+    np.testing.assert_allclose(
+        np.asarray(feat_s), np.asarray(feat_ref), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_slam_state_checkpoint_roundtrip(tmp_path):
+    from monst3r_slam_tpu.app.config import load_config
+    from monst3r_slam_tpu.app.pipeline import SLAMSystem
+    from monst3r_slam_tpu.slam import retrieval as retrieval_mod
+    from tests.test_pipeline import H, W, synth_video
+
+    cfg = load_config("config/base.yaml")
+    cfg["tracking"]["Q_conf"] = -1e9
+    cfg["tracking"]["min_match_frac"] = 0.0
+    params = init_params(jax.random.PRNGKey(0), TINY)
+
+    def build():
+        return SLAMSystem(
+            params=params, model_cfg=TINY, cfg=cfg, img_size=(H, W),
+            retrieval_params=retrieval_mod.init_retrieval_params(
+                jax.random.PRNGKey(1), TINY.enc_dim, hdims=(32,)
+            ),
+            retrieval_db=retrieval_mod.ASMKDatabase(
+                retrieval_mod.make_random_codebook(jax.random.PRNGKey(2), 128, 32)
+            ),
+            kf_capacity=8,
+        )
+
+    slam = build()
+    for i, img in enumerate(synth_video(3)):
+        slam.process_frame(i, i / 30.0, img)
+    slam.save_state(tmp_path / "state.npz")
+
+    slam2 = build()
+    slam2.load_state(tmp_path / "state.npz")
+    assert int(slam2.mem.count) == int(slam.mem.count)
+    np.testing.assert_allclose(
+        np.asarray(slam2.mem.T_WC), np.asarray(slam.mem.T_WC), atol=1e-6
+    )
+    assert slam2.graph.n_edges == slam.graph.n_edges
+    # Resumed system keeps tracking
+    slam2.process_frame(3, 0.1, synth_video(4)[3])
+    assert len(slam2.frame_poses) == len(slam.frame_poses) + 1
