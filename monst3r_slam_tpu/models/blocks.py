@@ -54,13 +54,14 @@ def _heads_merge(x: jax.Array) -> jax.Array:
 
 
 def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Softmax attention on (B, H, N, hd); accumulation in f32."""
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    """Softmax attention on (B, H, N, hd); accumulation in f32.
+
+    Dispatches to the Pallas fused on-chip kernel on TPU (ops/attention.py);
+    XLA einsum path elsewhere.
+    """
+    from monst3r_slam_tpu.ops.attention import sdpa
+
+    return sdpa(q, k, v)
 
 
 def self_attention(

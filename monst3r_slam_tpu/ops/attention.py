@@ -1,0 +1,89 @@
+"""Fused attention kernels for the ViT encoder/decoder.
+
+For MASt3R-SLAM's image sizes the token count is small (512x384 -> 768
+tokens), so the optimal TPU schedule is NOT classic flash-attention tiling:
+the entire per-head problem (q, k, v: 768x64; logits: 768x768 f32 = 2.3 MB)
+fits in VMEM. The Pallas kernel below runs one grid step per (batch, head),
+computing logits on the MXU and softmax on the VPU entirely on-chip — the
+768x768 probability matrix never touches HBM.
+
+Falls back to the XLA einsum path (`blocks._sdpa` equivalent) when shapes
+don't fit or Pallas is unavailable (e.g. CPU tests use interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget check: q,k,v,out tiles + f32 logits
+_VMEM_BYTES = 12 * 1024 * 1024
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0]  # (N, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    scale = q.shape[-1] ** -0.5
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    probs = (p / denom).astype(v.dtype)
+    o_ref[0] = jnp.dot(probs, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False):
+    """q: (B, H, Nq, D); k/v: (B, H, Nk, D) -> (B, H, Nq, D).
+
+    Single-pass on-chip attention; requires the per-head working set to fit
+    VMEM (true for <= ~2048 tokens at D=64).
+    """
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, d)
+
+    out = pl.pallas_call(
+        _attn_kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, nq, d)
+
+
+def attention_fits_fused(nq: int, nk: int, d: int, dtype_bytes: int = 2) -> bool:
+    need = (nq * d + 2 * nk * d + nq * d) * dtype_bytes + nq * nk * 4 * 2
+    return need < _VMEM_BYTES
+
+
+def sdpa(q, k, v, use_pallas: bool | None = None, interpret: bool = False):
+    """Dispatch: Pallas fused kernel on TPU when it fits, XLA otherwise."""
+    if use_pallas is None:
+        use_pallas = (
+            jax.devices()[0].platform not in ("cpu",)
+            and attention_fits_fused(q.shape[2], k.shape[2], q.shape[3])
+        )
+    if use_pallas:
+        return fused_attention(q, k, v, interpret=interpret)
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
