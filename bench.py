@@ -53,26 +53,35 @@ def main():
     def kf_encode(img):
         return croco.encode_image(params, cfg, img)
 
+    # Three separately-jitted stages (smaller compiles; the per-dispatch
+    # overhead they add is part of honest end-to-end cost anyway).
     @jax.jit
-    def frame_step(T_prev, idx_prev, kf_feat, kf_pos):
-        # data dependency on the previous frame's result
+    def model_step(T_prev, kf_feat, kf_pos):
         img_t = img + 1e-6 * T_prev[0]
         feat, pos = croco.encode_image(params, cfg, img_t)
         dec1, dec2 = croco.decode_pair(params, cfg, feat, pos, kf_feat, kf_pos)
         out1 = heads.head_forward(params["head1"], cfg, dec1, n_h, n_w)
         out2 = heads.head_forward(params["head2"], cfg, dec2, n_h, n_w)
-        idx_f2k, valid_k = matching_tiled.match_tiled(
-            out1.pts3d, out2.pts3d, out1.desc, out2.desc, idx_prev,
-            cfg=match_cfg, tcfg=tcfg, use_init=True,
-        )
-        res = tracker_mod.track_pose(
+        return out1, out2
+
+    @jax.jit
+    def track_step(out1, out2, idx_f2k, valid_k):
+        return tracker_mod.track_pose(
             track_cfg, (h, w), False,
             idx_f2k[0], valid_k[0],
             out1.desc_conf.reshape(hw, 1), out2.desc_conf.reshape(hw, 1),
             out1.pts3d.reshape(hw, 3), out1.conf.reshape(hw, 1),
             kf_X, kf_C, T_WCk, T_WCk,
+        ).T_WCf
+
+    def frame_step(T_prev, idx_prev, kf_feat, kf_pos):
+        out1, out2 = model_step(T_prev, kf_feat, kf_pos)
+        idx_f2k, valid_k = matching_tiled.match_tiled(
+            out1.pts3d, out2.pts3d, out1.desc, out2.desc, idx_prev,
+            cfg=match_cfg, tcfg=tcfg, use_init=True,
         )
-        return res.T_WCf, idx_f2k
+        T = track_step(out1, out2, idx_f2k, valid_k)
+        return T, idx_f2k
 
     kf_feat, kf_pos = kf_encode(img)
     T, idx = frame_step(T_WCk, jnp.arange(hw, dtype=jnp.int32)[None], kf_feat, kf_pos)

@@ -1,0 +1,377 @@
+"""RAFT optical flow in JAX (Teed & Deng, ECCV 2020).
+
+The reference pipeline runs RAFT with the Tartan checkpoint for the dynamic
+mask (`tracker2.py:35-38`, 20 iterations at `monst3r_utils.py:554`); its
+vendored module is empty in the snapshot, so this is a from-scratch JAX
+implementation of the published architecture:
+
+  * feature/context encoders: conv7x7/s2 + 6 residual blocks (1/8 res, 256ch)
+  * all-pairs 4-level correlation pyramid with radius-4 bilinear lookup
+  * SepConvGRU update block with motion encoder + flow head
+  * convex 8x upsampling of the final flow
+
+TPU notes: the correlation pyramid at 1/8 resolution is tiny
+((h/8*w/8)^2 ~ 3072^2 at 512-res), so the all-pairs matmul is MXU-friendly;
+the per-iteration lookup gathers touch only (hw/64)*81*4 values. Instance
+norm runs in f32. `raft_params_from_torch` maps the standard torch RAFT
+state-dict names for checkpoint conversion.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RAFTConfig(NamedTuple):
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+    iters: int = 20
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+
+def conv(p, x, stride=1, padding="SAME"):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def instance_norm(p, x, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if "w" in p:
+        y = y * p["w"] + p["b"]
+    return y.astype(x.dtype)
+
+
+def res_block(p, x, stride=1):
+    y = jax.nn.relu(instance_norm(p["norm1"], conv(p["conv1"], x, stride)))
+    y = jax.nn.relu(instance_norm(p["norm2"], conv(p["conv2"], y)))
+    if "downsample" in p:
+        x = instance_norm(p["norm3"], conv(p["downsample"], x, stride))
+    return jax.nn.relu(x + y)
+
+
+def encoder(p, x):
+    """BasicEncoder: 1/8 resolution features."""
+    x = jax.nn.relu(instance_norm(p["norm1"], conv(p["conv1"], x, stride=2)))
+    for i, blk in enumerate(p["layers"]):
+        stride = 2 if (i in (2, 4)) else 1
+        x = res_block(blk, x, stride)
+    return conv(p["conv2"], x)
+
+
+# ---------------------------------------------------------------------------
+# Correlation pyramid
+# ---------------------------------------------------------------------------
+
+
+def corr_pyramid(f1, f2, levels):
+    """f1/f2: (H, W, C) 1/8-res features -> list of (H*W, hl, wl) volumes."""
+    h, w, c = f1.shape
+    corr = jnp.einsum(
+        "ic,jc->ij", f1.reshape(h * w, c), f2.reshape(h * w, c),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(c)
+    corr = corr.reshape(h * w, h, w)
+    pyr = [corr]
+    for _ in range(levels - 1):
+        hh, ww = pyr[-1].shape[1] // 2, pyr[-1].shape[2] // 2
+        pooled = pyr[-1][:, : 2 * hh, : 2 * ww].reshape(h * w, hh, 2, ww, 2).mean((2, 4))
+        pyr.append(pooled)
+    return pyr
+
+
+def _bilinear_lookup(vol, u, v):
+    """vol: (N, hl, wl); u, v: (N, K) float coords -> (N, K)."""
+    n, hl, wl = vol.shape
+    flat = vol.reshape(n, hl * wl)
+    u0 = jnp.clip(jnp.floor(u), 0, max(wl - 2, 0)).astype(jnp.int32)
+    v0 = jnp.clip(jnp.floor(v), 0, max(hl - 2, 0)).astype(jnp.int32)
+    du = jnp.clip(u - u0, 0.0, 1.0)
+    dv = jnp.clip(v - v0, 0.0, 1.0)
+    base = u0 + wl * v0
+
+    def tap(offset):
+        idx = jnp.clip(base + offset, 0, hl * wl - 1)
+        return jnp.take_along_axis(flat, idx, axis=1)
+
+    s00, s01 = tap(0), tap(1)
+    s10, s11 = tap(wl), tap(wl + 1)
+    return (
+        s00 * (1 - du) * (1 - dv) + s01 * du * (1 - dv)
+        + s10 * (1 - du) * dv + s11 * du * dv
+    )
+
+
+def corr_lookup(pyr, flow, radius):
+    """flow: (H, W, 2) current 1/8-res flow -> (H, W, levels*(2r+1)^2)."""
+    h, w = flow.shape[:2]
+    n = h * w
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(n)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(n)
+    cx = gx + flow.reshape(n, 2)[:, 0]
+    cy = gy + flow.reshape(n, 2)[:, 1]
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    du = jnp.tile(d, 2 * radius + 1)
+    dv = jnp.repeat(d, 2 * radius + 1)
+    out = []
+    for lvl, vol in enumerate(pyr):
+        scale = 2.0**lvl
+        u = cx[:, None] / scale + du[None, :]
+        v = cy[:, None] / scale + dv[None, :]
+        out.append(_bilinear_lookup(vol, u, v))
+    return jnp.concatenate(out, axis=-1).reshape(h, w, -1)
+
+
+# ---------------------------------------------------------------------------
+# Update block
+# ---------------------------------------------------------------------------
+
+
+def motion_encoder(p, flow, corr):
+    c = jax.nn.relu(conv(p["convc1"], corr[None]))
+    c = jax.nn.relu(conv(p["convc2"], c))
+    f = jax.nn.relu(conv(p["convf1"], flow[None]))
+    f = jax.nn.relu(conv(p["convf2"], f))
+    m = jax.nn.relu(conv(p["conv"], jnp.concatenate([c, f], axis=-1)))
+    return jnp.concatenate([m, flow[None]], axis=-1)
+
+
+def sep_conv_gru(p, h, x):
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(conv(p["convz1"], hx))
+    r = jax.nn.sigmoid(conv(p["convr1"], hx))
+    q = jnp.tanh(conv(p["convq1"], jnp.concatenate([r * h, x], axis=-1)))
+    h = (1 - z) * h + z * q
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(conv(p["convz2"], hx))
+    r = jax.nn.sigmoid(conv(p["convr2"], hx))
+    q = jnp.tanh(conv(p["convq2"], jnp.concatenate([r * h, x], axis=-1)))
+    return (1 - z) * h + z * q
+
+
+def flow_head(p, h):
+    return conv(p["conv2"], jax.nn.relu(conv(p["conv1"], h)))
+
+
+def convex_upsample(flow, mask, factor=8):
+    """Convex combination 8x upsampling (RAFT's learned upsampler)."""
+    h, w, _ = flow.shape
+    mask = mask.reshape(h, w, 9, factor, factor)
+    mask = jax.nn.softmax(mask, axis=2)
+    # 3x3 neighborhood of the coarse flow
+    fp = jnp.pad(flow * factor, ((1, 1), (1, 1), (0, 0)))
+    neigh = jnp.stack(
+        [fp[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)], axis=2
+    )  # (h, w, 9, 2)
+    up = jnp.sum(mask[..., None] * neigh[:, :, :, None, None, :], axis=2)
+    # (h, w, fy, fx, 2) -> (h*f, w*f, 2)
+    return up.transpose(0, 2, 1, 3, 4).reshape(h * factor, w * factor, 2)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def raft_flow(params, img1, img2, cfg: RAFTConfig = RAFTConfig()):
+    """img1/img2: (H, W, 3) in [0, 255] -> flow (H, W, 2) at full res.
+
+    H, W must be multiples of 8.
+    """
+    x1 = (img1[None] / 255.0) * 2.0 - 1.0
+    x2 = (img2[None] / 255.0) * 2.0 - 1.0
+    f1 = encoder(params["fnet"], x1)[0]
+    f2 = encoder(params["fnet"], x2)[0]
+    ctx = encoder(params["cnet"], x1)[0]
+    net = jnp.tanh(ctx[..., : cfg.hidden_dim])
+    inp = jax.nn.relu(ctx[..., cfg.hidden_dim :])
+
+    pyr = corr_pyramid(f1, f2, cfg.corr_levels)
+    h, w = f1.shape[:2]
+    flow = jnp.zeros((h, w, 2))
+
+    up = params["update"]
+
+    def body(carry, _):
+        net, flow = carry
+        corr = corr_lookup(pyr, flow, cfg.corr_radius)
+        motion = motion_encoder(up["encoder"], flow, corr)
+        x = jnp.concatenate([inp[None], motion], axis=-1)
+        net_new = sep_conv_gru(up["gru"], net[None], x)[0]
+        dflow = flow_head(up["flow_head"], net_new[None])[0]
+        return (net_new, flow + dflow), None
+
+    (net, flow), _ = jax.lax.scan(body, (net, flow), None, length=cfg.iters)
+
+    mask = conv(params["update"]["mask"]["conv2"],
+                jax.nn.relu(conv(params["update"]["mask"]["conv1"], net[None])))[0]
+    return convex_upsample(flow, mask * 0.25)
+
+
+# ---------------------------------------------------------------------------
+# Init + torch conversion
+# ---------------------------------------------------------------------------
+
+
+def _conv_p(key, kh, kw, ci, co, bias=True):
+    scale = math.sqrt(2.0 / (kh * kw * ci))
+    p = {"w": scale * jax.random.normal(key, (kh, kw, ci, co))}
+    if bias:
+        p["b"] = jnp.zeros((co,))
+    return p
+
+
+def _in_p(c):
+    return {"w": jnp.ones((c,)), "b": jnp.zeros((c,))}
+
+
+def init_raft_params(key, cfg: RAFTConfig = RAFTConfig()):
+    ks = iter(jax.random.split(key, 64))
+
+    def enc(out_dim):
+        dims = [(64, 64, 1), (64, 64, 1), (64, 96, 2), (96, 96, 1), (96, 128, 2), (128, 128, 1)]
+        layers = []
+        for ci, co, s in dims:
+            blk = {
+                "conv1": _conv_p(next(ks), 3, 3, ci, co),
+                "norm1": _in_p(co),
+                "conv2": _conv_p(next(ks), 3, 3, co, co),
+                "norm2": _in_p(co),
+            }
+            if s > 1 or ci != co:
+                blk["downsample"] = _conv_p(next(ks), 1, 1, ci, co)
+                blk["norm3"] = _in_p(co)
+            layers.append(blk)
+        return {
+            "conv1": _conv_p(next(ks), 7, 7, 3, 64),
+            "norm1": _in_p(64),
+            "layers": layers,
+            "conv2": _conv_p(next(ks), 1, 1, 128, out_dim),
+        }
+
+    cor_planes = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
+    hd = cfg.hidden_dim
+    update = {
+        "encoder": {
+            "convc1": _conv_p(next(ks), 1, 1, cor_planes, 256),
+            "convc2": _conv_p(next(ks), 3, 3, 256, 192),
+            "convf1": _conv_p(next(ks), 7, 7, 2, 128),
+            "convf2": _conv_p(next(ks), 3, 3, 128, 64),
+            "conv": _conv_p(next(ks), 3, 3, 256, 128 - 2),
+        },
+        "gru": {
+            "convz1": _conv_p(next(ks), 1, 5, hd + 128 + cfg.context_dim, hd),
+            "convr1": _conv_p(next(ks), 1, 5, hd + 128 + cfg.context_dim, hd),
+            "convq1": _conv_p(next(ks), 1, 5, hd + 128 + cfg.context_dim, hd),
+            "convz2": _conv_p(next(ks), 5, 1, hd + 128 + cfg.context_dim, hd),
+            "convr2": _conv_p(next(ks), 5, 1, hd + 128 + cfg.context_dim, hd),
+            "convq2": _conv_p(next(ks), 5, 1, hd + 128 + cfg.context_dim, hd),
+        },
+        "flow_head": {
+            "conv1": _conv_p(next(ks), 3, 3, hd, 256),
+            "conv2": _conv_p(next(ks), 3, 3, 256, 2),
+        },
+        "mask": {
+            "conv1": _conv_p(next(ks), 3, 3, hd, 256),
+            "conv2": _conv_p(next(ks), 1, 1, 256, 64 * 9),
+        },
+    }
+    return {
+        "fnet": enc(256),
+        "cnet": enc(cfg.hidden_dim + cfg.context_dim),
+        "update": update,
+    }
+
+
+def raft_params_from_torch(path: str):
+    """Convert a standard torch RAFT checkpoint (fnet/cnet/update_block.*)."""
+    import numpy as np
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "model" in sd:
+        sd = sd["model"]
+    sd = {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
+
+    def cw(name):
+        p = {"w": np.ascontiguousarray(sd[f"{name}.weight"].transpose(2, 3, 1, 0))}
+        if f"{name}.bias" in sd:
+            p["b"] = sd[f"{name}.bias"]
+        return p
+
+    def iw(name):
+        if f"{name}.weight" in sd:
+            return {"w": sd[f"{name}.weight"], "b": sd[f"{name}.bias"]}
+        return {}
+
+    def enc(pfx):
+        layers = []
+        for li, bi in ((1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)):
+            name = f"{pfx}.layer{li}.{bi}"
+            blk = {
+                "conv1": cw(f"{name}.conv1"), "norm1": iw(f"{name}.norm1"),
+                "conv2": cw(f"{name}.conv2"), "norm2": iw(f"{name}.norm2"),
+            }
+            if f"{name}.downsample.0.weight" in sd:
+                blk["downsample"] = cw(f"{name}.downsample.0")
+                blk["norm3"] = iw(f"{name}.downsample.1")
+            layers.append(blk)
+        return {
+            "conv1": cw(f"{pfx}.conv1"),
+            "norm1": iw(f"{pfx}.norm1"),
+            "layers": layers,
+            "conv2": cw(f"{pfx}.conv2"),
+        }
+
+    params = {
+        "fnet": enc("fnet"),
+        "cnet": enc("cnet"),
+        "update": {
+            "encoder": {k: cw(f"update_block.encoder.{k}")
+                        for k in ("convc1", "convc2", "convf1", "convf2", "conv")},
+            "gru": {k: cw(f"update_block.gru.{k}")
+                    for k in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2")},
+            "flow_head": {
+                "conv1": cw("update_block.flow_head.conv1"),
+                "conv2": cw("update_block.flow_head.conv2"),
+            },
+            "mask": {
+                "conv1": cw("update_block.mask.0"),
+                "conv2": cw("update_block.mask.2"),
+            },
+        },
+    }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def make_raft_flow_estimator(params, cfg: RAFTConfig = RAFTConfig()):
+    """Adapter for dynamic.mask.set_flow_estimator."""
+    import numpy as np
+
+    def estimator(img_i_u8, img_j_u8):
+        flow = raft_flow(
+            params, jnp.asarray(img_i_u8, jnp.float32),
+            jnp.asarray(img_j_u8, jnp.float32), cfg,
+        )
+        return np.asarray(flow)
+
+    return estimator

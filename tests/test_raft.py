@@ -1,0 +1,44 @@
+"""Architecture tests for the JAX RAFT implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monst3r_slam_tpu.dynamic import raft
+
+
+def test_raft_shapes_and_finite():
+    cfg = raft.RAFTConfig(iters=2)
+    params = raft.init_raft_params(jax.random.PRNGKey(0), cfg)
+    h, w = 64, 96
+    img1 = jax.random.uniform(jax.random.PRNGKey(1), (h, w, 3)) * 255
+    img2 = jax.random.uniform(jax.random.PRNGKey(2), (h, w, 3)) * 255
+    flow = raft.raft_flow(params, img1, img2, cfg)
+    assert flow.shape == (h, w, 2)
+    assert bool(jnp.isfinite(flow).all())
+
+
+def test_corr_pyramid_and_lookup():
+    h, w, c = 8, 12, 16
+    f = jax.random.normal(jax.random.PRNGKey(0), (h, w, c))
+    pyr = raft.corr_pyramid(f, f, levels=3)
+    assert pyr[0].shape == (h * w, h, w)
+    assert pyr[1].shape == (h * w, h // 2, w // 2)
+    # Self-correlation at zero flow: the center tap (offset 0,0 at level 0)
+    # equals |f|^2/sqrt(c) at each position
+    flow = jnp.zeros((h, w, 2))
+    out = raft.corr_lookup(pyr, flow, radius=1)
+    center_tap = out.reshape(h * w, 3, 9)[:, 0, 4]  # level 0, offset (0,0)
+    expect = jnp.sum(f.reshape(h * w, c) ** 2, axis=-1) / np.sqrt(c)
+    np.testing.assert_allclose(center_tap, expect, atol=1e-4, rtol=1e-4)
+
+
+def test_convex_upsample_constant_flow():
+    """Uniform mask upsampling of constant flow gives constant flow * 8."""
+    h, w = 4, 6
+    flow = jnp.ones((h, w, 2)) * jnp.asarray([2.0, -1.0])
+    mask = jnp.zeros((h, w, 9 * 64))
+    up = raft.convex_upsample(flow, mask)
+    assert up.shape == (h * 8, w * 8, 2)
+    np.testing.assert_allclose(up[8:-8, 8:-8, 0], 16.0, atol=1e-4)
+    np.testing.assert_allclose(up[8:-8, 8:-8, 1], -8.0, atol=1e-4)
