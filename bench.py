@@ -19,6 +19,12 @@ import json
 import time
 
 import jax
+
+# Persistent compilation cache: remote TPU compiles here run minutes;
+# repeated bench invocations must not pay them again.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

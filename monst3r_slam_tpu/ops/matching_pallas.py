@@ -1,14 +1,14 @@
 """Pallas TPU kernel for the tiled matcher's hot loop.
 
-One grid step per 16x16 source tile:
+Grid = (tiles, query-subblocks). For each 16x16 source tile:
   * rays (3ch) and descriptors (24ch) are packed into ONE 128-channel
-    lane-aligned image, so each tile needs a single HBM->VMEM DMA of its
-    CROPxCROPx128 patch (corners are quantized to the 8-sublane grid to
-    satisfy Mosaic's slice-alignment rules — the tile config budgets the
-    lost margin);
-  * ray association and descriptor scores are two full-K (128) NT matmuls
-    on the MXU against the folded (crop^2, 128) patch — zero gathers
-    anywhere in the kernel;
+    lane-aligned image; the tile's CROPxCROPx128 patch is DMA'd HBM->VMEM
+    once (at subblock 0; the scratch persists across subblocks). Corners are
+    quantized to the 8-sublane grid for Mosaic slice alignment;
+  * each subblock scores `sub_q` query pixels against the patch with two
+    full-K (128) NT matmuls on the MXU (zero gathers in the kernel) — the
+    subblocking keeps every (sub_q, crop^2) f32 temporary ~1 MB so the whole
+    working set stays within the 16 MB VMEM budget;
   * the descriptor refinement takes the EXACT argmax over the +-R window
     around the ray match (the reference's coarse-to-fine dilation,
     matching_kernels.cu:49-77, is a CUDA compute-saving heuristic; with the
@@ -36,16 +36,17 @@ class PallasTileConfig(NamedTuple):
     tile: int = 16
     crop: int = 64
     window: int = 15  # refine search radius (= radius * dilation_max)
+    sub_q: int = 64  # queries per grid step (VMEM bound)
 
 
 def _kernel(
     corners_ref,  # scalar prefetch: (T, 2) int32 (x, y), 8-aligned
     img_hbm,  # (h, w, PACK) ANY — packed rays+desc
-    q_rays_ref,  # (1, tsz, PACK) VMEM block (desc channels zeroed)
-    q_desc_ref,  # (1, tsz, PACK) VMEM block (ray channels zeroed)
-    u_out,  # (1, 1, tsz) int32
-    v_out,  # (1, 1, tsz) int32
-    conv_out,  # (1, 1, tsz) int32
+    q_rays_ref,  # (1, sub_q, PACK) VMEM block (desc channels zeroed)
+    q_desc_ref,  # (1, sub_q, PACK) VMEM block (ray channels zeroed)
+    u_out,  # (1, 1, sub_q) int32
+    v_out,  # (1, 1, sub_q) int32
+    conv_out,  # (1, 1, sub_q) int32
     crop_scr,  # VMEM scratch (crop, crop, PACK)
     sem,  # DMA semaphore
     *,
@@ -54,26 +55,30 @@ def _kernel(
     conv_thresh: float,
 ):
     t = pl.program_id(0)
+    j = pl.program_id(1)
     cx = corners_ref[t, 0]
     cy = corners_ref[t, 1]
 
-    dma = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(cy, crop), pl.ds(cx, crop), :], crop_scr, sem
-    )
-    dma.start()
+    @pl.when(j == 0)
+    def _fetch():
+        dma = pltpu.make_async_copy(
+            img_hbm.at[pl.ds(cy, crop), pl.ds(cx, crop), :], crop_scr, sem
+        )
+        dma.start()
+        dma.wait()
 
-    tsz = q_rays_ref.shape[1]
+    nq = q_rays_ref.shape[1]
     m = crop * crop
-    col = jax.lax.broadcasted_iota(jnp.int32, (tsz, m), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, m), 1)
 
-    dma.wait()
     patch = crop_scr[...].reshape(m, PACK)  # fold leading dims only
 
-    q_rays = q_rays_ref[0]  # (tsz, PACK)
+    q_rays = q_rays_ref[0]  # (nq, PACK)
     s_ray = jax.lax.dot_general(
-        q_rays, patch, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (tsz, m)
+        q_rays, patch, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
+    )  # (nq, m)
 
     best = jnp.argmax(s_ray, axis=-1)
     onehot = (col == best[:, None]).astype(jnp.float32)
@@ -102,8 +107,9 @@ def _kernel(
 
     q_desc = q_desc_ref[0]
     s_desc = jax.lax.dot_general(
-        q_desc, patch, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        q_desc, patch, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
     )
 
     du = col % crop - pu[:, None]
@@ -131,6 +137,9 @@ def tile_match_pallas(
     T, tsz, _ = q_rays.shape
     fd = desc_img.shape[-1]
     crop = tcfg.crop
+    sub_q = min(tcfg.sub_q, tsz)
+    n_sub = tsz // sub_q
+    assert tsz % sub_q == 0
     assert fd + 3 <= PACK
 
     def pack(a, b):
@@ -140,10 +149,8 @@ def tile_match_pallas(
         )
 
     img = pack(rays_img, desc_img)  # (h, w, PACK)
-    zeros_r = jnp.zeros_like(q_desc)
-    zeros_d = jnp.zeros_like(q_rays)
-    q_rays_p = pack(q_rays, zeros_r)  # desc channels zeroed
-    q_desc_p = pack(zeros_d, q_desc)  # ray channels zeroed
+    q_rays_p = pack(q_rays, jnp.zeros_like(q_desc)).reshape(T * n_sub, sub_q, PACK)
+    q_desc_p = pack(jnp.zeros_like(q_rays), q_desc).reshape(T * n_sub, sub_q, PACK)
 
     corners = jnp.stack(
         [
@@ -157,18 +164,22 @@ def tile_match_pallas(
         _kernel, crop=crop, window=tcfg.window, conv_thresh=conv_thresh
     )
 
+    # Query/output blocks live in a flat (T*n_sub) leading dim
+    def qmap(i, j, c):
+        return (i * n_sub + j, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T, n_sub),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, tsz, PACK), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, tsz, PACK), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, sub_q, PACK), qmap),
+            pl.BlockSpec((1, sub_q, PACK), qmap),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tsz), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, tsz), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, tsz), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, sub_q), qmap),
+            pl.BlockSpec((1, 1, sub_q), qmap),
+            pl.BlockSpec((1, 1, sub_q), qmap),
         ],
         scratch_shapes=[
             pltpu.VMEM((crop, crop, PACK), img.dtype),
@@ -179,11 +190,18 @@ def tile_match_pallas(
     u, v, conv = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((T, 1, tsz), jnp.int32),
-            jax.ShapeDtypeStruct((T, 1, tsz), jnp.int32),
-            jax.ShapeDtypeStruct((T, 1, tsz), jnp.int32),
+            jax.ShapeDtypeStruct((T * n_sub, 1, sub_q), jnp.int32),
+            jax.ShapeDtypeStruct((T * n_sub, 1, sub_q), jnp.int32),
+            jax.ShapeDtypeStruct((T * n_sub, 1, sub_q), jnp.int32),
         ],
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
     )(corners, img, q_rays_p, q_desc_p)
-    return u[:, 0], v[:, 0], conv[:, 0].astype(jnp.bool_)
+    return (
+        u.reshape(T, tsz),
+        v.reshape(T, tsz),
+        conv.reshape(T, tsz).astype(jnp.bool_),
+    )

@@ -62,7 +62,7 @@ def _coarse_search(rays_img: jax.Array, queries: jax.Array, stride: int):
 
     def score_chunk(q):
         s = jnp.einsum("nf,mf->nm", q, flat, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=jax.lax.Precision.HIGH)
         best = jnp.argmax(s, axis=-1)
         return best
 
@@ -187,7 +187,7 @@ def match_tiled(
         # 1. ray association (argmax over the crop)
         s_ray = jnp.einsum(
             "tpf,tmf->tpm", q_rays_c, rc, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
         best = jnp.argmax(s_ray, axis=-1)  # (tc, tsz)
         peak = _subpixel_peak(s_ray, best, crop)
@@ -200,7 +200,7 @@ def match_tiled(
         # 2. dilated-window descriptor refinement on the SAME crop
         s_desc = jnp.einsum(
             "tpf,tmf->tpm", q_desc_c, dc, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
         for d in range(cfg.dilation_max, 0, -1):
             du = ox[None, None, :] - pu[..., None]
