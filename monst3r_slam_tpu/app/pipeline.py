@@ -17,6 +17,7 @@ makes runs deterministic by construction.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -111,6 +112,52 @@ def make_matcher(cfg: dict):
             return matching_tiled.match(X11, X21, D11, D21, idx_init, cfg=mcfg, tcfg=tcfg)
 
     return match_fn
+
+
+@partial(jax.jit, static_argnames=("track_cfg", "img_size", "use_calib", "fmode"),
+         donate_argnums=(0, 1, 2))
+def _track_and_update(
+    mem_X,  # (cap, hw, 3) — donated
+    mem_C,  # (cap, hw, 1) — donated
+    mem_N,  # (cap,) — donated
+    kf_idx,
+    idx_f2k,  # (hw,)
+    valid_match_k,  # (hw, 1)
+    X1, C1, Q1,  # frame-side decode outputs, flattened (hw, .)
+    X2, C2, Q2,  # keyframe-side decode outputs
+    frame_X, frame_C, frame_N,  # frame canonical state
+    T_WCf, T_WCk,
+    K,
+    track_cfg: tracker_mod.TrackingConfig,
+    img_size,
+    use_calib: bool,
+    fmode: str,
+):
+    """One fused device program for everything after decode+match:
+    frame pointmap fusion -> GN tracking -> keyframe pointmap update.
+
+    Keyframe memory arrays are donated so the update happens in place
+    (an eager `.at[].set` would copy the full multi-GB buffers every frame).
+    """
+    # Fuse frame pointmap (tracker.py:44)
+    fX, fC, fN = fuse_pointmap(frame_X, frame_C, frame_N, X1, C1, fmode)
+
+    res = tracker_mod.track_pose(
+        track_cfg, img_size, use_calib,
+        idx_f2k, valid_match_k, Q1, Q2,
+        fX, fC / jnp.maximum(fN.astype(jnp.float32), 1.0),
+        mem_X[kf_idx], mem_C[kf_idx] / jnp.maximum(mem_N[kf_idx].astype(jnp.float32), 1.0),
+        T_WCf, T_WCk, K,
+    )
+
+    # Update keyframe pointmap with the frame observation (tracker.py:96-100)
+    Xkk = lie.sim3_act(res.T_CkCf, X2)
+    kX, kC, kN = fuse_pointmap(mem_X[kf_idx], mem_C[kf_idx], mem_N[kf_idx], Xkk, C2, fmode)
+    ok = ~(res.low_match | res.solver_failed)
+    mem_X = mem_X.at[kf_idx].set(jnp.where(ok, kX, mem_X[kf_idx]))
+    mem_C = mem_C.at[kf_idx].set(jnp.where(ok, kC, mem_C[kf_idx]))
+    mem_N = mem_N.at[kf_idx].set(jnp.where(ok, kN, mem_N[kf_idx]))
+    return mem_X, mem_C, mem_N, fX, fC, fN, res
 
 
 @dataclasses.dataclass
@@ -459,30 +506,26 @@ class SLAMSystem:
         )
         self.idx_f2k = idx_f2k
 
-        # Fuse frame pointmap (tracker.py:44)
-        X_new = out.X1.reshape(self.hw, 3)
-        C_new = out.C1.reshape(self.hw, 1)
-        Xf, Cf, Nf = fuse_pointmap(
-            frame.X_canon, frame.C, frame.N, X_new, C_new, self.filtering_mode
-        )
-        frame = dataclasses.replace(frame, X_canon=Xf, C=Cf, N=Nf)
-
-        res = tracker_mod.track_pose(
-            self.track_cfg,
-            self.img_size,
-            self.use_calib,
-            idx_f2k[0],
-            valid_match_k[0],
+        # Fused device program: frame fusion -> GN tracking -> keyframe update
+        # (keyframe buffers donated, updated in place)
+        mem_X, mem_C, mem_N, fX, fC, fN, res = _track_and_update(
+            self.mem.X_canon, self.mem.C, self.mem.N,
+            jnp.asarray(kf_idx, jnp.int32),
+            idx_f2k[0], valid_match_k[0],
+            out.X1.reshape(self.hw, 3), out.C1.reshape(self.hw, 1),
             out.Q1.reshape(self.hw, 1),
+            out.X2.reshape(self.hw, 3), out.C2.reshape(self.hw, 1),
             out.Q2.reshape(self.hw, 1),
-            frame.X_canon,
-            frame.get_average_conf(),
-            kf.X_canon,
-            kf.get_average_conf(),
-            frame.T_WC,
-            kf.T_WC,
-            self.K,
+            frame.X_canon, frame.C, frame.N,
+            frame.T_WC, kf.T_WC,
+            self.K if self.K is not None else jnp.eye(3),
+            track_cfg=self.track_cfg,
+            img_size=self.img_size,
+            use_calib=self.use_calib,
+            fmode=self.filtering_mode,
         )
+        self.mem = dataclasses.replace(self.mem, X_canon=mem_X, C=mem_C, N=mem_N)
+        frame = dataclasses.replace(frame, X_canon=fX, C=fC, N=fN)
 
         if bool(res.low_match) or bool(res.solver_failed):
             self.mode = Mode.RELOC
@@ -492,20 +535,6 @@ class SLAMSystem:
 
         frame = dataclasses.replace(frame, T_WC=res.T_WCf)
         self.last_T_WC = np.asarray(res.T_WCf)
-
-        # Update keyframe pointmap with frame observation (tracker.py:96-100)
-        Xkk = lie.sim3_act(res.T_CkCf, out.X2.reshape(self.hw, 3))
-        Ckf = out.C2.reshape(self.hw, 1)
-        Xk_f, Ck_f, Nk_f = fuse_pointmap(
-            self.mem.X_canon[kf_idx], self.mem.C[kf_idx], self.mem.N[kf_idx],
-            Xkk, Ckf, self.filtering_mode,
-        )
-        self.mem = dataclasses.replace(
-            self.mem,
-            X_canon=self.mem.X_canon.at[kf_idx].set(Xk_f),
-            C=self.mem.C.at[kf_idx].set(Ck_f),
-            N=self.mem.N.at[kf_idx].set(Nk_f),
-        )
 
         if bool(res.new_kf):
             self.idx_f2k = None

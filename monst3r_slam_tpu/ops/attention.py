@@ -73,10 +73,18 @@ def attention_fits_fused(nq: int, nk: int, d: int, dtype_bytes: int = 2) -> bool
 
 
 def sdpa(q, k, v, use_pallas: bool | None = None, interpret: bool = False):
-    """Dispatch: Pallas fused kernel on TPU when it fits, XLA otherwise."""
+    """Dispatch: Pallas fused kernel or XLA einsum attention.
+
+    The Pallas kernel is opt-in (MONST3R_PALLAS_ATTN=1): at MASt3R's token
+    counts XLA's fused attention is already near-roofline, and vanilla XLA
+    compiles are much faster on remote-compile stacks.
+    """
     if use_pallas is None:
+        import os
+
         use_pallas = (
-            jax.devices()[0].platform not in ("cpu",)
+            os.environ.get("MONST3R_PALLAS_ATTN", "0") == "1"
+            and jax.devices()[0].platform not in ("cpu",)
             and attention_fits_fused(q.shape[2], k.shape[2], q.shape[3])
         )
     if use_pallas:

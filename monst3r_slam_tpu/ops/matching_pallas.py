@@ -77,7 +77,7 @@ def _kernel(
     s_ray = jax.lax.dot_general(
         q_rays, patch, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (nq, m)
 
     best = jnp.argmax(s_ray, axis=-1)
@@ -109,7 +109,7 @@ def _kernel(
     s_desc = jax.lax.dot_general(
         q_desc, patch, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     du = col % crop - pu[:, None]
