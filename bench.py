@@ -32,7 +32,7 @@ BASELINE_FPS = 0.185  # reference committed run logs (BASELINE.md)
 
 
 def main():
-    from monst3r_slam_tpu.models import croco, heads
+    from monst3r_slam_tpu.models import mast3r as model_api
     from monst3r_slam_tpu.models.config import MAST3R_512
     from monst3r_slam_tpu.models.init import init_params
     from monst3r_slam_tpu.ops import matching, matching_tiled
@@ -55,41 +55,37 @@ def main():
     kf_C = jnp.full((hw, 1), 2.0)
     T_WCk = lie.sim3_identity()
 
+    # Separately-jitted stages (the monolithic fused program overloads
+    # remote compilers; the per-dispatch overhead the split adds is part of
+    # the honest end-to-end cost anyway). encode/decode are the same staged
+    # programs the SLAM pipeline itself dispatches.
     @jax.jit
-    def kf_encode(img):
-        return croco.encode_image(params, cfg, img)
-
-    # Three separately-jitted stages (smaller compiles; the per-dispatch
-    # overhead they add is part of honest end-to-end cost anyway).
-    @jax.jit
-    def model_step(T_prev, kf_feat, kf_pos):
-        img_t = img + 1e-6 * T_prev[0]
-        feat, pos = croco.encode_image(params, cfg, img_t)
-        dec1, dec2 = croco.decode_pair(params, cfg, feat, pos, kf_feat, kf_pos)
-        out1 = heads.head_forward(params["head1"], cfg, dec1, n_h, n_w)
-        out2 = heads.head_forward(params["head2"], cfg, dec2, n_h, n_w)
-        return out1, out2
+    def perturb(T_prev):
+        return img + 1e-6 * T_prev[0]
 
     @jax.jit
-    def track_step(out1, out2, idx_f2k, valid_k):
+    def track_step(out, idx_f2k, valid_k):
         return tracker_mod.track_pose(
             track_cfg, (h, w), False,
             idx_f2k[0], valid_k[0],
-            out1.desc_conf.reshape(hw, 1), out2.desc_conf.reshape(hw, 1),
-            out1.pts3d.reshape(hw, 3), out1.conf.reshape(hw, 1),
+            out.Q1.reshape(hw, 1), out.Q2.reshape(hw, 1),
+            out.X1.reshape(hw, 3), out.C1.reshape(hw, 1),
             kf_X, kf_C, T_WCk, T_WCk,
         ).T_WCf
 
     def frame_step(T_prev, idx_prev, kf_feat, kf_pos):
-        out1, out2 = model_step(T_prev, kf_feat, kf_pos)
+        img_t = perturb(T_prev)
+        feat, pos = model_api.encode(params, cfg, img_t)
+        out = model_api.decode(params, cfg, feat, pos, kf_feat, kf_pos, (h, w))
         idx_f2k, valid_k = matching_tiled.match_tiled(
-            out1.pts3d, out2.pts3d, out1.desc, out2.desc, idx_prev,
+            out.X1.reshape(1, h, w, 3), out.X2.reshape(1, h, w, 3),
+            out.D1, out.D2, idx_prev,
             cfg=match_cfg, tcfg=tcfg, use_init=True,
         )
-        T = track_step(out1, out2, idx_f2k, valid_k)
+        T = track_step(out, idx_f2k, valid_k)
         return T, idx_f2k
 
-    kf_feat, kf_pos = kf_encode(img)
+    kf_feat, kf_pos = model_api.encode(params, cfg, img)
     T, idx = frame_step(T_WCk, jnp.arange(hw, dtype=jnp.int32)[None], kf_feat, kf_pos)
     np.asarray(T)  # force compile + first run
 
