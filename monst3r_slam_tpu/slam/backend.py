@@ -41,6 +41,7 @@ class BackendConfig(NamedTuple):
     sigma_dist: float = 10.0
     sigma_pixel: float = 1.0
     sigma_depth: float = 10.0
+    sigma_point: float = 0.05
     delta_norm: float = 1e-8
     pixel_border: float = -10.0
     depth_eps: float = 1e-6
@@ -106,9 +107,20 @@ def _calib_residual(Xi, Xj_Ci, ind_Xi, K, height, width, border, z_eps):
     return err, J_local, (valid_z & valid_uv)[..., None]
 
 
+def _point_residual(Xi, Xj_Ci):
+    """Residual + local Jacobian of 3D point alignment
+    (gn_kernels.cu:455-811 point_align_kernel; exposed by the reference but
+    unused by its mains). Residual = Xj_Ci - Xi, J = [I | -skew | P]."""
+    err = Xj_Ci - Xi
+    J_local = _point_jac_local(Xj_Ci)
+    valid = jnp.ones(err.shape[:-1] + (1,), bool)
+    return err, J_local, valid
+
+
 def _edge_terms(
     Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg: BackendConfig,
     calib=None,
+    residual_kind: str = "ray",
 ):
     """Accumulate per-edge Hessian blocks and gradients over all pixels.
 
@@ -139,6 +151,10 @@ def _edge_terms(
         m = 3
         sig_a, sig_b = cfg.sigma_pixel, cfg.sigma_depth
         rep_a = 2
+    elif residual_kind == "point":
+        m = 3
+        sig_a, sig_b = cfg.sigma_point, cfg.sigma_point
+        rep_a = 2
     else:
         m = 4
         sig_a, sig_b = cfg.sigma_ray, cfg.sigma_dist
@@ -162,6 +178,8 @@ def _edge_terms(
             err, J_local, extra_valid = _calib_residual(
                 Xi, Xj_Ci, ind_Xi, K, height, width, cfg.pixel_border, cfg.depth_eps
             )
+        elif residual_kind == "point":
+            err, J_local, extra_valid = _point_residual(Xi, Xj_Ci)
         else:
             err, J_local, extra_valid = _ray_residual(Xi, Xj_Ci)
 
@@ -248,7 +266,7 @@ def _assemble_and_solve(H, g, ii, jj, edge_valid, n_poses: int, cfg: BackendConf
     return jnp.concatenate([jnp.zeros((pin, 7)), dx], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_poses", "use_calib", "img_size"))
+@partial(jax.jit, static_argnames=("cfg", "n_poses", "use_calib", "img_size", "residual_kind"))
 def gauss_newton(
     Twc: jax.Array,  # (P, 8) — P static (bucketed)
     Xs: jax.Array,  # (P, hw, 3)
@@ -264,8 +282,13 @@ def gauss_newton(
     use_calib: bool = False,
     K: jax.Array | None = None,
     img_size=None,
+    residual_kind: str = "ray",
 ):
-    """Full GN loop (driver of gn_kernels.cu:1140-1228). Returns new Twc."""
+    """Full GN loop (driver of gn_kernels.cu:1140-1228). Returns new Twc.
+
+    residual_kind: 'ray' (gauss_newton_rays), 'point' (gauss_newton_points);
+    use_calib=True selects the calibrated reprojection residual.
+    """
     calib = (K, img_size[0], img_size[1]) if use_calib else None
 
     def cond(state):
@@ -275,7 +298,8 @@ def gauss_newton(
     def body(state):
         Twc, it, _ = state
         H, g = _edge_terms(
-            Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg, calib
+            Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg, calib,
+            residual_kind,
         )
         dx = _assemble_and_solve(H, g, ii, jj, edge_valid, n_poses, cfg)
         Twc_new = lie.sim3_retr(Twc, dx)

@@ -113,3 +113,21 @@ def test_gauss_newton_padded_edges_ignored():
         T_init, Xs, Cs, ii_p, jj_p, idx_p, valid_p, Q_p, ev_p, cfg, n_poses=4
     )
     np.testing.assert_allclose(np.asarray(T_a), np.asarray(T_b), atol=1e-5)
+
+
+def test_gauss_newton_points_converges():
+    """N5 point-alignment residual (exposed by the reference, unused by its
+    mains) recovers poses on the synthetic graph."""
+    import jax
+
+    cfg = backend.BackendConfig(max_iters=10, chunk=512)
+    T_true, T_init, Xs, Cs, ii, jj, idx, valid, Q, ev = build_graph(
+        jax.random.PRNGKey(7)
+    )
+    T_out, iters = backend.gauss_newton(
+        T_init, Xs, Cs, ii, jj, idx, valid, Q, ev, cfg, n_poses=4,
+        residual_kind="point",
+    )
+    err1 = pose_errors(T_out, T_true)
+    assert float(err1[0]) < 1e-6
+    assert float(jnp.max(err1[1:])) < 1e-3
