@@ -86,16 +86,39 @@ def cross_attention(
     mpos: jax.Array,
     n_heads: int,
     rope_freq: Optional[float],
-) -> jax.Array:
-    """Separate q/k/v projections (blocks.py:132-169)."""
+    mem_bias: Optional[jax.Array] = None,
+    return_attn_colsum: bool = False,
+):
+    """Separate q/k/v projections (blocks.py:132-169).
+
+    `mem_bias` (B, Nk) is added to every query's logits — the Easi3R-style
+    attention re-weighting hook (down-weights dynamic memory tokens).
+    `return_attn_colsum` also returns the per-memory-token attention mass
+    sum_q A[q, k] (B, Nk), used to build the dynamic mask.
+    """
     q = _heads_split(linear(p["q"], x), n_heads)
     k = _heads_split(linear(p["k"], mem), n_heads)
     v = _heads_split(linear(p["v"], mem), n_heads)
     if rope_freq is not None:
         q = apply_rope2d(q, xpos, rope_freq)
         k = apply_rope2d(k, mpos, rope_freq)
-    out = _sdpa(q, k, v)
-    return linear(p["proj"], _heads_merge(out))
+    if mem_bias is None and not return_attn_colsum:
+        out = _sdpa(q, k, v)
+        return linear(p["proj"], _heads_merge(out))
+    # Explicit-logits path (bias / attention statistics needed)
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mem_bias is not None:
+        logits = logits + mem_bias[:, None, None, :].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
+    y = linear(p["proj"], _heads_merge(out))
+    if return_attn_colsum:
+        colsum = jnp.sum(probs, axis=(1, 2)) / probs.shape[1]  # (B, Nk)
+        return y, colsum
+    return y
 
 
 def encoder_block(
@@ -116,15 +139,23 @@ def decoder_block(
     n_heads: int,
     rope_freq: float,
     eps: float,
-) -> jax.Array:
+    mem_bias: Optional[jax.Array] = None,
+    return_attn_colsum: bool = False,
+):
     """Self-attn + cross-attn + MLP block (blocks.py:171-192).
 
     `norm_y` normalizes the memory stream inside each block (norm_im2_in_dec).
     """
     x = x + self_attention(p["attn"], layernorm(p["norm1"], x, eps), xpos, n_heads, rope_freq)
     y_n = layernorm(p["norm_y"], y, eps)
-    x = x + cross_attention(
-        p["cross"], layernorm(p["norm2"], x, eps), y_n, xpos, ypos, n_heads, rope_freq
+    ca = cross_attention(
+        p["cross"], layernorm(p["norm2"], x, eps), y_n, xpos, ypos, n_heads,
+        rope_freq, mem_bias=mem_bias, return_attn_colsum=return_attn_colsum,
     )
+    if return_attn_colsum:
+        ca, colsum = ca
+    x = x + ca
     x = x + mlp(p["mlp"], layernorm(p["norm3"], x, eps))
+    if return_attn_colsum:
+        return x, colsum
     return x
