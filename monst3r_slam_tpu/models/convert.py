@@ -234,6 +234,21 @@ def _to_jnp(tree):
     return jax.tree.map(jnp.asarray, tree)
 
 
+def cast_params_for_inference(params, dtype=jnp.bfloat16):
+    """Cast matmul/conv weights to bf16 for inference (halves weight HBM
+    traffic); layernorm/bias parameters stay f32 (they are applied in f32
+    inside the blocks anyway)."""
+    import jax
+
+    def cast(path, leaf):
+        name = "/".join(str(getattr(k, "key", "")) for k in path)
+        if leaf.ndim >= 2 and name.endswith("w"):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def load_checkpoint(path: str, cfg: Optional[ModelConfig] = None):
     """Load a reference torch checkpoint -> (params, cfg).
 
