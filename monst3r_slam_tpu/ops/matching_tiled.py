@@ -147,7 +147,8 @@ def match_tiled(
     """
     h, w = X11.shape[1:3]
     hw = h * w
-    tile, crop = tcfg.tile, tcfg.crop
+    tile = tcfg.tile
+    crop = min(tcfg.crop, h, w)  # small images: crop can't exceed the frame
     n_tiles = (h // tile) * (w // tile)
     tsz = tile * tile
 
