@@ -114,7 +114,7 @@ def main():
     for i in range(n):
         timestamp, img = dataset[i]
         out = resize_img(img, dataset.img_size)
-        slam.process_frame(i, timestamp, out["img"][0])
+        slam.process_frame(i, timestamp, out["img"][0], uimg=out["unnormalized_img"])
         if i % 30 == 0 and i > 0:
             fps = i / (time.time() - t0)
             print(f"frame {i}/{n}  FPS: {fps:.3f}  keyframes: {int(slam.mem.count)}")
@@ -135,8 +135,13 @@ def main():
             np.asarray(slam.mem.T_WC[:n_kf]),
             np.asarray(slam.mem.X_canon[:n_kf]),
             np.asarray(slam.mem.C[:n_kf] / np.maximum(np.asarray(slam.mem.N[:n_kf])[:, None, None], 1)),
-            np.zeros((n_kf, slam.hw, 3)) + 0.5,
+            slam.keyframe_colors(),
             conf_threshold=1.5,
+        )
+        evaluate.save_keyframes(
+            save_dir / "keyframes", dataset.timestamps, kf_ids,
+            [np.asarray(u, np.float32) / 255.0 if u is not None
+             else np.full((*img_size, 3), 0.5) for u in slam.kf_uimgs[:n_kf]],
         )
         print(f"saved results to {save_dir}")
 

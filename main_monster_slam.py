@@ -30,6 +30,13 @@ def main():
     parser.add_argument("--checkpoint", default="checkpoints/MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth")
     parser.add_argument("--monst3r-checkpoint", default="checkpoints/MonST3R_PO-TA-S-W_ViTLarge_BaseDecoder_512_dpt.pth")
     parser.add_argument("--retrieval-checkpoint", default="")
+    parser.add_argument(
+        "--raft-checkpoint",
+        default="checkpoints/Tartan-C-T-TSKH-spring540x960-M.pth",
+        help="torch RAFT weights (reference tracker2.py:35-38); "
+        "'random' installs the JAX RAFT with random init (for testing), "
+        "missing file falls back to OpenCV DIS flow",
+    )
     parser.add_argument("--max-frames", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -84,6 +91,27 @@ def main():
     )
     dual = DualParams(monst3r_params, monst3r_cfg, mast3r_params, mast3r_cfg)
 
+    # Optical flow for the dynamic mask: JAX RAFT when weights are available
+    # (reference loads RAFT at tracker2.py:35-38 and runs it at 20 iters inside
+    # get_dynamic_mask, monst3r_utils.py:554); OpenCV DIS is the explicit
+    # fallback when no checkpoint exists in this environment.
+    from monst3r_slam_tpu.dynamic import mask as dyn_mask
+    from monst3r_slam_tpu.dynamic import raft as raft_mod
+
+    if args.raft_checkpoint == "random":
+        raft_params = raft_mod.init_raft_params(jax.random.PRNGKey(args.seed + 2))
+        dyn_mask.set_flow_estimator(raft_mod.make_raft_flow_estimator(raft_params))
+        print("RAFT flow estimator installed (random init — testing only)")
+    elif pathlib.Path(args.raft_checkpoint).is_file():
+        raft_params = raft_mod.raft_params_from_torch(args.raft_checkpoint)
+        dyn_mask.set_flow_estimator(raft_mod.make_raft_flow_estimator(raft_params))
+        print(f"RAFT flow estimator installed from {args.raft_checkpoint}")
+    else:
+        print(
+            f"RAFT checkpoint {args.raft_checkpoint} not found — "
+            "falling back to OpenCV DIS optical flow"
+        )
+
     K = None
     if config.get("use_calib", False) and dataset.has_calib():
         K = np.asarray(dataset.camera_intrinsics.K_frame, np.float32)
@@ -135,6 +163,20 @@ def main():
         frame_ids, T_all = slam.full_trajectory()
         ts_all = [dataset.timestamps[i] for i in frame_ids]
         evaluate.save_full_traj(save_dir, f"{seq_name}_full.txt", ts_all, T_all)
+        n_kf = int(slam.mem.count)
+        evaluate.save_reconstruction(
+            save_dir, f"{seq_name}.ply",
+            np.asarray(slam.mem.T_WC[:n_kf]),
+            np.asarray(slam.mem.X_canon[:n_kf]),
+            np.asarray(slam.mem.C[:n_kf] / np.maximum(np.asarray(slam.mem.N[:n_kf])[:, None, None], 1)),
+            slam.keyframe_colors(),
+            conf_threshold=1.5,
+        )
+        evaluate.save_keyframes(
+            save_dir / "keyframes", dataset.timestamps, kf_ids,
+            [np.asarray(u, np.float32) / 255.0 if u is not None
+             else np.full((*img_size, 3), 0.5) for u in slam.kf_uimgs[:n_kf]],
+        )
         print(f"saved results to {save_dir}")
 
 

@@ -63,6 +63,7 @@ def tracking_config_from_dict(cfg: dict) -> tracker_mod.TrackingConfig:
         pixel_border=t.get("pixel_border", -10.0),
         depth_eps=t.get("depth_eps", 1e-6),
         filtering_mode=t.get("filtering_mode", "weighted_pointmap"),
+        filtering_score=t.get("filtering_score", "median"),
     )
 
 
@@ -114,24 +115,26 @@ def make_matcher(cfg: dict):
     return match_fn
 
 
-@partial(jax.jit, static_argnames=("track_cfg", "img_size", "use_calib", "fmode"),
-         donate_argnums=(0, 1, 2))
+@partial(jax.jit, static_argnames=("track_cfg", "img_size", "use_calib", "fmode", "fscore"),
+         donate_argnums=(0, 1, 2, 3))
 def _track_and_update(
     mem_X,  # (cap, hw, 3) — donated
     mem_C,  # (cap, hw, 1) — donated
     mem_N,  # (cap,) — donated
+    mem_S,  # (cap,) — donated (best_score fusion statistic)
     kf_idx,
     idx_f2k,  # (hw,)
     valid_match_k,  # (hw, 1)
     X1, C1, Q1,  # frame-side decode outputs, flattened (hw, .)
     X2, C2, Q2,  # keyframe-side decode outputs
-    frame_X, frame_C, frame_N,  # frame canonical state
+    frame_X, frame_C, frame_N, frame_S,  # frame canonical state
     T_WCf, T_WCk,
     K,
     track_cfg: tracker_mod.TrackingConfig,
     img_size,
     use_calib: bool,
     fmode: str,
+    fscore: str,
 ):
     """One fused device program for everything after decode+match:
     frame pointmap fusion -> GN tracking -> keyframe pointmap update.
@@ -140,7 +143,9 @@ def _track_and_update(
     (an eager `.at[].set` would copy the full multi-GB buffers every frame).
     """
     # Fuse frame pointmap (tracker.py:44)
-    fX, fC, fN = fuse_pointmap(frame_X, frame_C, frame_N, X1, C1, fmode)
+    fX, fC, fN, fS = fuse_pointmap(
+        frame_X, frame_C, frame_N, X1, C1, fmode, frame_S, fscore
+    )
 
     res = tracker_mod.track_pose(
         track_cfg, img_size, use_calib,
@@ -152,12 +157,16 @@ def _track_and_update(
 
     # Update keyframe pointmap with the frame observation (tracker.py:96-100)
     Xkk = lie.sim3_act(res.T_CkCf, X2)
-    kX, kC, kN = fuse_pointmap(mem_X[kf_idx], mem_C[kf_idx], mem_N[kf_idx], Xkk, C2, fmode)
+    kX, kC, kN, kS = fuse_pointmap(
+        mem_X[kf_idx], mem_C[kf_idx], mem_N[kf_idx], Xkk, C2, fmode,
+        mem_S[kf_idx], fscore,
+    )
     ok = ~(res.low_match | res.solver_failed)
     mem_X = mem_X.at[kf_idx].set(jnp.where(ok, kX, mem_X[kf_idx]))
     mem_C = mem_C.at[kf_idx].set(jnp.where(ok, kC, mem_C[kf_idx]))
     mem_N = mem_N.at[kf_idx].set(jnp.where(ok, kN, mem_N[kf_idx]))
-    return mem_X, mem_C, mem_N, fX, fC, fN, res
+    mem_S = mem_S.at[kf_idx].set(jnp.where(ok, kS, mem_S[kf_idx]))
+    return mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res
 
 
 @dataclasses.dataclass
@@ -175,6 +184,9 @@ class SLAMSystem:
     # Dynamic pipeline (main_monster_slam): MonST3R params for X/C; `params`
     # then acts as the MASt3R decoder for D/Q (dynamic/inference.py).
     dual: Optional[object] = None
+    # Easi3R pipeline (main_easier_slam / reference tracker3.py:15): two-pass
+    # attention-reweighted DUSt3R inference for X/C + masks, MASt3R for D/Q.
+    easi3r: Optional[object] = None
 
     def __post_init__(self):
         h, w = self.img_size
@@ -201,6 +213,7 @@ class SLAMSystem:
         self.dyn_threshold = float(self.cfg.get("dynamic_mask_threshold", 0.35))
         self.dyn_refine = bool(self.cfg.get("refine_dynamic_mask_with_sam2", False))
         self.kf_uimgs: List[Optional[np.ndarray]] = []  # host uint8 keyframe images
+        self.kf_dyn_masks: List[Optional[np.ndarray]] = []  # per-keyframe dynamic masks
         self.cur_uimg: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
@@ -208,12 +221,23 @@ class SLAMSystem:
     # ------------------------------------------------------------------
 
     def encode(self, img_nhwc: jax.Array):
+        if self.easi3r is not None:
+            # Easi3R pipeline: frames cache Easi3R (DUSt3R) encoder features
+            return model_api.encode(
+                self.easi3r.easi3r, self.easi3r.easi3r_cfg, img_nhwc
+            )
         if self.dual is not None:
             # Dynamic pipeline: frames cache MonST3R encoder features
             return model_api.encode(self.dual.monst3r, self.dual.monst3r_cfg, img_nhwc)
         return model_api.encode(self.params, self.model_cfg, img_nhwc)
 
     def _decode_pair(self, feat_i, pos_i, feat_j, pos_j):
+        if self.easi3r is not None:
+            from monst3r_slam_tpu.dynamic.inference import easi3r_asymmetric_inference
+
+            return easi3r_asymmetric_inference(
+                self.easi3r, feat_i, pos_i, feat_j, pos_j, self.img_size
+            )
         if self.dual is not None:
             from monst3r_slam_tpu.dynamic.inference import monst3r_asymmetric_inference
 
@@ -241,6 +265,7 @@ class SLAMSystem:
             N_updates=jnp.zeros((), jnp.int32),
             feat=feat[0],
             pos=pos[0],
+            score=jnp.zeros((), jnp.float32),
         )
 
     def _mono_init(self, frame: Frame) -> Frame:
@@ -249,8 +274,11 @@ class SLAMSystem:
         )
         X = out.X1[0].reshape(self.hw, 3)
         C = out.C1[0].reshape(self.hw, 1)
-        X_f, C_f, N_f = fuse_pointmap(frame.X_canon, frame.C, frame.N, X, C, self.filtering_mode)
-        return dataclasses.replace(frame, X_canon=X_f, C=C_f, N=N_f)
+        X_f, C_f, N_f, S_f = fuse_pointmap(
+            frame.X_canon, frame.C, frame.N, X, C, self.filtering_mode,
+            frame.score, self.track_cfg.filtering_score,
+        )
+        return dataclasses.replace(frame, X_canon=X_f, C=C_f, N=N_f, score=S_f)
 
     # ------------------------------------------------------------------
     # Retrieval
@@ -352,6 +380,7 @@ class SLAMSystem:
             kf_X=np.asarray(self.mem.X_canon[:n]),
             kf_C=np.asarray(self.mem.C[:n]),
             kf_N=np.asarray(self.mem.N[:n]),
+            kf_score=np.asarray(self.mem.score[:n]),
             kf_feat=np.asarray(self.mem.feat[:n]),
             kf_pos=np.asarray(self.mem.pos[:n]),
             graph_ii=self.graph.ii[: self.graph.n_edges],
@@ -374,7 +403,10 @@ class SLAMSystem:
         for name, key in (
             ("frame_id", "kf_frame_id"), ("T_WC", "kf_T_WC"), ("X_canon", "kf_X"),
             ("C", "kf_C"), ("N", "kf_N"), ("feat", "kf_feat"), ("pos", "kf_pos"),
+            ("score", "kf_score"),
         ):
+            if key not in data:  # checkpoints written before score existed
+                continue
             arr = getattr(mem, name)
             mem = dataclasses.replace(
                 mem, **{name: arr.at[:n].set(jnp.asarray(data[key]))}
@@ -471,7 +503,10 @@ class SLAMSystem:
 
         # Dynamic-object filtering (tracker2.py:79-122): zero frame-side
         # confidences/descriptors on pixels whose optical flow disagrees with
-        # camera-ego-motion flow.
+        # camera-ego-motion flow. The keyframe's own mask (computed when it
+        # was tracked as a frame) masks the keyframe side — the reference's
+        # `dynamic_mask_j` parameter (monst3r_utils.py:448-481).
+        cur_dyn_mask = None
         if self.use_dynamic_mask and self.K is not None and uimg is not None:
             kf_uimg = self.kf_uimgs[kf_idx] if kf_idx < len(self.kf_uimgs) else None
             if kf_uimg is not None:
@@ -482,6 +517,7 @@ class SLAMSystem:
                     uimg, kf_uimg, frame.T_WC, kf.T_WC, depth_i, self.K,
                     threshold=self.dyn_threshold, refine=self.dyn_refine,
                 )
+                cur_dyn_mask = m
                 if m.any():
                     mask_flat = jnp.asarray(m.reshape(-1))
                     _, C1m, D1m, Q1m = dyn.apply_dynamic_mask_to_pointmaps(
@@ -496,6 +532,25 @@ class SLAMSystem:
                         D1=D1m.reshape(out.D1.shape),
                         Q1=Q1m.reshape(out.Q1.shape),
                     )
+                kf_mask = (
+                    self.kf_dyn_masks[kf_idx]
+                    if kf_idx < len(self.kf_dyn_masks)
+                    else None
+                )
+                if kf_mask is not None and kf_mask.any():
+                    kf_mask_flat = jnp.asarray(kf_mask.reshape(-1))
+                    _, C2m, D2m, Q2m = dyn.apply_dynamic_mask_to_pointmaps(
+                        out.X2.reshape(self.hw, 3),
+                        out.C2.reshape(self.hw, 1),
+                        out.D2.reshape(self.hw, -1),
+                        out.Q2.reshape(self.hw, 1),
+                        kf_mask_flat,
+                    )
+                    out = out._replace(
+                        C2=C2m.reshape(out.C2.shape),
+                        D2=D2m.reshape(out.D2.shape),
+                        Q2=Q2m.reshape(out.Q2.shape),
+                    )
 
         Xff = out.X1.reshape(1, *self.img_size, 3)
         Xkf = out.X2.reshape(1, *self.img_size, 3)
@@ -508,24 +563,27 @@ class SLAMSystem:
 
         # Fused device program: frame fusion -> GN tracking -> keyframe update
         # (keyframe buffers donated, updated in place)
-        mem_X, mem_C, mem_N, fX, fC, fN, res = _track_and_update(
-            self.mem.X_canon, self.mem.C, self.mem.N,
+        mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res = _track_and_update(
+            self.mem.X_canon, self.mem.C, self.mem.N, self.mem.score,
             jnp.asarray(kf_idx, jnp.int32),
             idx_f2k[0], valid_match_k[0],
             out.X1.reshape(self.hw, 3), out.C1.reshape(self.hw, 1),
             out.Q1.reshape(self.hw, 1),
             out.X2.reshape(self.hw, 3), out.C2.reshape(self.hw, 1),
             out.Q2.reshape(self.hw, 1),
-            frame.X_canon, frame.C, frame.N,
+            frame.X_canon, frame.C, frame.N, frame.score,
             frame.T_WC, kf.T_WC,
             self.K if self.K is not None else jnp.eye(3),
             track_cfg=self.track_cfg,
             img_size=self.img_size,
             use_calib=self.use_calib,
             fmode=self.filtering_mode,
+            fscore=self.track_cfg.filtering_score,
         )
-        self.mem = dataclasses.replace(self.mem, X_canon=mem_X, C=mem_C, N=mem_N)
-        frame = dataclasses.replace(frame, X_canon=fX, C=fC, N=fN)
+        self.mem = dataclasses.replace(
+            self.mem, X_canon=mem_X, C=mem_C, N=mem_N, score=mem_S
+        )
+        frame = dataclasses.replace(frame, X_canon=fX, C=fC, N=fN, score=fS)
 
         if bool(res.low_match) or bool(res.solver_failed):
             self.mode = Mode.RELOC
@@ -540,16 +598,18 @@ class SLAMSystem:
             self.idx_f2k = None
             new_idx = int(self.mem.count)
             self.mem = kf_append(self.mem, frame)
-            self._set_kf_uimg(new_idx, uimg)
+            self._set_kf_uimg(new_idx, uimg, dyn_mask=cur_dyn_mask)
             self.backend_step(new_idx, frame)
             self.last_T_WC = np.asarray(self.mem.T_WC[new_idx])
 
         self._record_pose(frame_id, jnp.asarray(self.last_T_WC))
 
-    def _set_kf_uimg(self, idx: int, uimg):
+    def _set_kf_uimg(self, idx: int, uimg, dyn_mask=None):
         while len(self.kf_uimgs) <= idx:
             self.kf_uimgs.append(None)
+            self.kf_dyn_masks.append(None)
         self.kf_uimgs[idx] = uimg
+        self.kf_dyn_masks[idx] = dyn_mask
 
     def _record_pose(self, frame_id: int, T_WC: jax.Array):
         self.frame_ids.append(frame_id)
@@ -562,6 +622,19 @@ class SLAMSystem:
     def keyframe_trajectory(self):
         n = int(self.mem.count)
         return np.asarray(self.mem.T_WC[:n]), np.asarray(self.mem.frame_id[:n])
+
+    def keyframe_colors(self) -> np.ndarray:
+        """(n_kf, hw, 3) float RGB in [0,1] from the retained keyframe images
+        (reference keeps uimg per keyframe for exactly this export,
+        evaluate.py:48-87). Gray fallback for keyframes captured without one."""
+        n = int(self.mem.count)
+        h, w = self.img_size
+        cols = np.full((n, self.hw, 3), 0.5, np.float32)
+        for i in range(min(n, len(self.kf_uimgs))):
+            u = self.kf_uimgs[i]
+            if u is not None:
+                cols[i] = np.asarray(u, np.float32).reshape(self.hw, 3) / 255.0
+        return cols
 
     def full_trajectory(self):
         return self.frame_ids, np.stack(self.frame_poses) if self.frame_poses else np.zeros((0, 8))

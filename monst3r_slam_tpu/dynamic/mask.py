@@ -59,18 +59,22 @@ def ego_motion_flow(
     return jnp.stack([u_j - u, v_j - v], axis=-1)
 
 
+def flow_error_map(flow: jax.Array, ego_flow: jax.Array) -> jax.Array:
+    """Min-max-normalized flow-error map (monst3r_utils.py:627-632)."""
+    err = jnp.linalg.norm(flow - ego_flow, axis=-1)
+    lo = jnp.min(err)
+    hi = jnp.max(err)
+    return jnp.where(hi > lo, (err - lo) / (hi - lo), jnp.zeros_like(err))
+
+
 def flow_error_mask(
     flow: jax.Array,  # (h, w, 2) measured optical flow
     ego_flow: jax.Array,  # (h, w, 2)
     threshold: float = 0.35,
 ) -> jax.Array:
-    """Min-max-normalized flow-error map thresholded to a boolean mask
+    """Normalized flow-error map thresholded to a boolean mask
     (monst3r_utils.py:627-637)."""
-    err = jnp.linalg.norm(flow - ego_flow, axis=-1)
-    lo = jnp.min(err)
-    hi = jnp.max(err)
-    norm = jnp.where(hi > lo, (err - lo) / (hi - lo), jnp.zeros_like(err))
-    return norm > threshold
+    return flow_error_map(flow, ego_flow) > threshold
 
 
 # ---------------------------------------------------------------------------
@@ -124,10 +128,13 @@ _mask_refiner: Optional[Callable] = None
 
 
 def set_mask_refiner(fn: Callable):
-    """Install an optional segmentation-based refiner with signature
-    fn(uimg_uint8, point_prompts) -> bool mask (h, w). The reference uses a
-    SAM2 video predictor here (monst3r_utils.py:640-703); refinement is
-    config-gated and off by default in this build."""
+    """Install a segmentation-based refiner with signature
+    fn(img_u8, err_norm, raw_mask, threshold, min_area) -> bool mask (h, w).
+
+    The reference uses a SAM2 video predictor here (monst3r_utils.py:640-703,
+    gated by `refine_dynamic_mask_with_sam2`, on by default). When refinement
+    is requested and no refiner was installed, the native
+    hysteresis+GrabCut refiner (dynamic/refine.py) is used."""
     global _mask_refiner
     _mask_refiner = fn
 
@@ -153,13 +160,17 @@ def get_dynamic_mask(
         return np.zeros((h, w), bool)
     flow = compute_flow(img_i_u8, img_j_u8)
     ego = np.asarray(ego_motion_flow(T_WCi, T_WCj, depth_i, K))
-    mask = np.asarray(flow_error_mask(jnp.asarray(flow), jnp.asarray(ego), threshold))
-    if refine and _mask_refiner is not None and mask.any():
-        prompts = connected_component_centroids(mask, min_area)
-        if prompts:
-            refined = _mask_refiner(img_i_u8, prompts)
-            if refined is not None and refined.shape == mask.shape:
-                mask = np.asarray(refined, bool)
+    err_norm = np.asarray(flow_error_map(jnp.asarray(flow), jnp.asarray(ego)))
+    mask = err_norm > threshold
+    if refine and mask.any():
+        refiner = _mask_refiner
+        if refiner is None:
+            from monst3r_slam_tpu.dynamic.refine import make_native_refiner
+
+            refiner = make_native_refiner()
+        refined = refiner(img_i_u8, err_norm, mask, threshold, min_area)
+        if refined is not None and refined.shape == mask.shape:
+            mask = np.asarray(refined, bool)
     return mask
 
 

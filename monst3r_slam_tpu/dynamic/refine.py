@@ -1,0 +1,141 @@
+"""Native dynamic-mask refinement (the SAM2-equivalent stage).
+
+The reference refines its raw flow-error mask with a SAM2 video predictor
+seeded by connected-component centroids (`monst3r_utils.py:640-703`, gated by
+`refine_dynamic_mask_with_sam2`, on by default in `config/base.yaml:5`). SAM2
+weights are ~900 MB of torch checkpoints that cannot be assumed present, so
+this module provides a native two-stage refiner with the same role — turn a
+noisy per-pixel threshold mask into coherent object masks:
+
+  1. **Hysteresis growth on the flow-error map**: pixels above the high
+     threshold seed regions that expand into any connected pixel above a lower
+     threshold (classic Canny-style hysteresis). Recovers object interiors
+     whose flow error dips below the hard threshold.
+  2. **GrabCut color refinement** (host, OpenCV): the grown mask initializes a
+     GrabCut trimap (eroded core = certain-foreground, dilated ring =
+     probable, far field = certain-background); GMM color models then snap the
+     mask to object boundaries in the image — the same role SAM2's image
+     encoder plays in the reference.
+
+Both stages run on the host on one frame's small (h, w) arrays; device compute
+is untouched. Real SAM2 can still be plugged in through
+`dynamic.mask.set_mask_refiner` — this is the default implementation behind
+the same config gate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def hysteresis_mask(
+    err_norm: np.ndarray,
+    high: float = 0.35,
+    low: float = 0.15,
+) -> np.ndarray:
+    """Grow seeds (err > high) into connected support (err > low).
+
+    err_norm: (h, w) min-max-normalized flow error (mask.flow_error_mask's
+    pre-threshold map). Returns bool (h, w).
+    """
+    from scipy import ndimage
+
+    seeds = err_norm > high
+    support = err_norm > low
+    if not seeds.any():
+        return seeds
+    labeled, n = ndimage.label(support)
+    keep = np.unique(labeled[seeds])
+    keep = keep[keep > 0]
+    return np.isin(labeled, keep)
+
+
+def grabcut_refine(
+    img_u8: np.ndarray,
+    mask: np.ndarray,
+    iters: int = 3,
+    margin: int = 7,
+) -> np.ndarray:
+    """Snap a coarse object mask to image boundaries with GrabCut GMMs.
+
+    Trimap: eroded mask = GC_FGD, mask = GC_PR_FGD, dilated ring = GC_PR_BGD,
+    rest = GC_BGD. Returns bool (h, w); falls back to the input mask when
+    GrabCut cannot run (degenerate trimaps, tiny masks).
+    """
+    import cv2
+
+    mask = np.asarray(mask, bool)
+    if not mask.any() or mask.all():
+        return mask
+    kernel = np.ones((3, 3), np.uint8)
+    m8 = mask.astype(np.uint8)
+    core = cv2.erode(m8, kernel, iterations=2).astype(bool)
+    ring = cv2.dilate(m8, kernel, iterations=margin).astype(bool)
+
+    gc = np.full(mask.shape, cv2.GC_BGD, np.uint8)
+    gc[ring] = cv2.GC_PR_BGD
+    gc[mask] = cv2.GC_PR_FGD
+    gc[core] = cv2.GC_FGD
+    # GrabCut needs both FG and BG evidence to fit its GMMs
+    if not (gc == cv2.GC_BGD).any() or not (core.any() or mask.any()):
+        return mask
+    bgd = np.zeros((1, 65), np.float64)
+    fgd = np.zeros((1, 65), np.float64)
+    try:
+        cv2.grabCut(
+            np.ascontiguousarray(img_u8[..., :3]), gc, None, bgd, fgd,
+            iters, cv2.GC_INIT_WITH_MASK,
+        )
+    except cv2.error:
+        return mask
+    return (gc == cv2.GC_FGD) | (gc == cv2.GC_PR_FGD)
+
+
+def refine_dynamic_mask(
+    img_u8: np.ndarray,
+    err_norm: np.ndarray,
+    raw_mask: np.ndarray,
+    threshold: float = 0.35,
+    low_ratio: float = 0.45,
+    min_area: int = 20,
+    use_grabcut: bool = True,
+) -> np.ndarray:
+    """Full refinement: hysteresis growth -> small-region cull -> GrabCut.
+
+    Mirrors the reference's SAM2 stage contract (monst3r_utils.py:640-703):
+    takes the raw thresholded mask, returns a refined mask covering whole
+    moving objects. `raw_mask` pixels are always kept as seeds even if the
+    normalized error map was re-derived.
+    """
+    from scipy import ndimage
+
+    grown = hysteresis_mask(err_norm, threshold, threshold * low_ratio)
+    grown |= np.asarray(raw_mask, bool)
+
+    # Cull specks below min_area (reference skips CCs < 20 px, :651-661)
+    labeled, n = ndimage.label(grown)
+    if n:
+        sizes = np.bincount(labeled.ravel())
+        small = sizes < min_area
+        small[0] = False
+        grown[small[labeled]] = False
+
+    if use_grabcut and grown.any():
+        grown = grabcut_refine(img_u8, grown)
+    return grown
+
+
+def make_native_refiner(use_grabcut: bool = True, low_ratio: float = 0.45):
+    """Build a refiner for dynamic.mask.set_mask_refiner with signature
+    fn(img_u8, err_norm, raw_mask, threshold, min_area) -> bool mask."""
+
+    def refiner(img_u8, err_norm, raw_mask, threshold, min_area):
+        return refine_dynamic_mask(
+            img_u8, err_norm, raw_mask,
+            threshold=threshold, low_ratio=low_ratio,
+            min_area=min_area, use_grabcut=use_grabcut,
+        )
+
+    return refiner

@@ -46,6 +46,8 @@ class Frame:
       N:       () int32 fusion count
       feat:    (n, enc_dim) cached encoder features
       pos:     (n, 2) patch positions
+      score:   () best-score fusion statistic (frame.py:75-86; only
+               meaningful under filtering_mode == "best_score")
     """
 
     frame_id: jax.Array
@@ -57,6 +59,7 @@ class Frame:
     N_updates: jax.Array
     feat: jax.Array
     pos: jax.Array
+    score: jax.Array
 
     def get_average_conf(self) -> jax.Array:
         return self.C / jnp.maximum(self.N.astype(self.C.dtype), 1.0)
@@ -75,12 +78,22 @@ def make_empty_frame(h: int, w: int, enc_dim: int, patch: int) -> Frame:
         N_updates=jnp.zeros((), jnp.int32),
         feat=jnp.zeros((n, enc_dim), jnp.float32),
         pos=jnp.zeros((n, 2), jnp.int32),
+        score=jnp.zeros((), jnp.float32),
     )
 
 
 # ---------------------------------------------------------------------------
 # Pointmap fusion (reference update_pointmap, frame.py:60-124)
 # ---------------------------------------------------------------------------
+
+
+def conf_score(C: jax.Array, filtering_score: str = "median") -> jax.Array:
+    """Scalar pointmap-quality score (reference get_score, frame.py:47-54)."""
+    if filtering_score == "median":
+        return jnp.median(C)
+    if filtering_score == "mean":
+        return jnp.mean(C)
+    raise ValueError(f"unknown filtering_score {filtering_score}")
 
 
 def fuse_pointmap(
@@ -90,15 +103,21 @@ def fuse_pointmap(
     X_new: jax.Array,
     C_new: jax.Array,
     mode: str = "weighted_pointmap",
+    score_old: jax.Array | None = None,
+    filtering_score: str = "median",
 ):
     """Fuse a new pointmap observation into the canonical one.
 
-    Returns (X, C, N). First observation (N_old == 0) always replaces.
+    Returns (X, C, N, score). First observation (N_old == 0) always replaces.
     All modes are branch-free `where`s on the N_old==0 predicate so the
-    function stays jittable.
+    function stays jittable. `score` is only maintained by the "best_score"
+    mode (reference frame.py:68-86); other modes pass `score_old` through.
     """
     first = N_old == 0
     one = jnp.ones_like(N_old)
+    if score_old is None:
+        score_old = jnp.zeros((), jnp.float32)
+    score = score_old
 
     if mode == "first":
         X = jnp.where(first, X_new, X_old)
@@ -106,6 +125,13 @@ def fuse_pointmap(
         N = jnp.where(first, one, N_old)
     elif mode == "recent":
         X, C, N = X_new, C_new, one
+    elif mode == "best_score":
+        new_score = conf_score(C_new, filtering_score)
+        better = first | (new_score > score_old)
+        X = jnp.where(better, X_new, X_old)
+        C = jnp.where(better, C_new, C_old)
+        N = jnp.where(better, one, N_old)
+        score = jnp.where(better, new_score, score_old)
     elif mode == "indep_conf":
         better = C_new > C_old
         X = jnp.where(better, X_new, X_old)
@@ -141,7 +167,7 @@ def fuse_pointmap(
         N = jnp.where(first, one, N_old + 1)
     else:
         raise ValueError(f"unknown filtering_mode {mode}")
-    return X, C, N
+    return X, C, N, score
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +192,7 @@ class KeyframeMemory:
     N_updates: jax.Array  # (cap,) int32
     feat: jax.Array  # (cap, n, enc_dim)
     pos: jax.Array  # (cap, n, 2)
+    score: jax.Array  # (cap,) best-score fusion statistic
     count: jax.Array  # () int32
 
     @property
@@ -187,6 +214,7 @@ def make_keyframe_memory(
         N_updates=jnp.zeros((capacity,), jnp.int32),
         feat=jnp.zeros((capacity, n, enc_dim), jnp.float32),
         pos=jnp.zeros((capacity, n, 2), jnp.int32),
+        score=jnp.zeros((capacity,), jnp.float32),
         count=jnp.zeros((), jnp.int32),
     )
 
@@ -202,6 +230,7 @@ def kf_set(mem: KeyframeMemory, idx: jax.Array, frame: Frame) -> KeyframeMemory:
         N_updates=mem.N_updates.at[idx].set(frame.N_updates),
         feat=mem.feat.at[idx].set(frame.feat),
         pos=mem.pos.at[idx].set(frame.pos),
+        score=mem.score.at[idx].set(frame.score),
         count=jnp.maximum(mem.count, idx + 1),
     )
 
@@ -222,19 +251,25 @@ def kf_get(mem: KeyframeMemory, idx: jax.Array, img_placeholder=None) -> Frame:
         N_updates=mem.N_updates[idx],
         feat=mem.feat[idx],
         pos=mem.pos[idx],
+        score=mem.score[idx],
     )
 
 
 def kf_update_pointmap(
-    mem: KeyframeMemory, idx: jax.Array, X: jax.Array, C: jax.Array, mode: str
+    mem: KeyframeMemory, idx: jax.Array, X: jax.Array, C: jax.Array, mode: str,
+    filtering_score: str = "median",
 ) -> KeyframeMemory:
-    X_f, C_f, N_f = fuse_pointmap(mem.X_canon[idx], mem.C[idx], mem.N[idx], X, C, mode)
+    X_f, C_f, N_f, S_f = fuse_pointmap(
+        mem.X_canon[idx], mem.C[idx], mem.N[idx], X, C, mode,
+        score_old=mem.score[idx], filtering_score=filtering_score,
+    )
     return dataclasses.replace(
         mem,
         X_canon=mem.X_canon.at[idx].set(X_f),
         C=mem.C.at[idx].set(C_f),
         N=mem.N.at[idx].set(N_f),
         N_updates=mem.N_updates.at[idx].set(mem.N_updates[idx] + 1),
+        score=mem.score.at[idx].set(S_f),
     )
 
 

@@ -42,6 +42,7 @@ class TrackingConfig(NamedTuple):
     pixel_border: float = -10.0
     depth_eps: float = 1e-6
     filtering_mode: str = "weighted_pointmap"
+    filtering_score: str = "median"
 
 
 class TrackResult(NamedTuple):

@@ -1,0 +1,120 @@
+"""Native SAM2-equivalent mask refinement: hysteresis + GrabCut.
+
+The acceptance criterion (VERDICT item 3): the refined mask must measurably
+improve IoU over raw thresholding on a synthetic dynamic scene.
+"""
+
+import numpy as np
+
+from monst3r_slam_tpu.dynamic import refine
+
+
+def _synthetic_scene(seed=0, h=120, w=160):
+    """Textured background + a distinctly-colored moving square, with a
+    flow-error map that only partially exceeds the hard threshold (the
+    realistic failure of raw thresholding: object interiors with moderate
+    error dip below it)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            120 + 40 * np.sin(0.2 * xx),
+            120 + 40 * np.cos(0.15 * yy),
+            120 + 20 * np.sin(0.1 * (xx + yy)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    gt = np.zeros((h, w), bool)
+    gt[40:90, 60:120] = True
+    img[gt] = [220, 40, 40]
+
+    err = rng.uniform(0.0, 0.08, (h, w)).astype(np.float32)
+    # object: moderate error everywhere, strong error on a random half
+    err[gt] = rng.uniform(0.18, 0.30, gt.sum())
+    strong = gt & (rng.uniform(size=(h, w)) < 0.5)
+    err[strong] = rng.uniform(0.4, 0.9, strong.sum())
+    # spurious background specks above threshold (below min_area)
+    for _ in range(4):
+        y0, x0 = rng.integers(0, h - 3), rng.integers(0, w - 3)
+        err[y0 : y0 + 2, x0 : x0 + 2] = 0.6
+    return img, err, gt
+
+
+def _iou(a, b):
+    return (a & b).sum() / max((a | b).sum(), 1)
+
+
+def test_hysteresis_grows_seeds_into_support():
+    err = np.zeros((20, 20), np.float32)
+    err[5:10, 5:15] = 0.2  # support band
+    err[7, 7] = 0.8  # one seed inside it
+    err[15:18, 2:5] = 0.2  # support with NO seed -> must stay off
+    m = refine.hysteresis_mask(err, high=0.35, low=0.15)
+    assert m[5:10, 5:15].all()
+    assert not m[15:18, 2:5].any()
+
+
+def test_hysteresis_empty_when_no_seed():
+    err = np.full((8, 8), 0.2, np.float32)
+    assert not refine.hysteresis_mask(err, 0.35, 0.15).any()
+
+
+def test_grabcut_degenerate_inputs_pass_through():
+    img = np.zeros((16, 16, 3), np.uint8)
+    empty = np.zeros((16, 16), bool)
+    full = np.ones((16, 16), bool)
+    assert not refine.grabcut_refine(img, empty).any()
+    assert refine.grabcut_refine(img, full).all()
+
+
+def test_refinement_improves_iou_over_raw_threshold():
+    img, err, gt = _synthetic_scene()
+    raw = err > 0.35
+    iou_raw = _iou(raw, gt)
+    refined = refine.refine_dynamic_mask(img, err, raw, threshold=0.35)
+    iou_ref = _iou(refined, gt)
+    # raw thresholding sees ~half the object; refinement must recover it
+    assert iou_raw < 0.7
+    assert iou_ref > iou_raw + 0.15
+    assert iou_ref > 0.85
+
+
+def test_refinement_culls_small_specks():
+    img, err, gt = _synthetic_scene(seed=1)
+    raw = err > 0.35
+    refined = refine.refine_dynamic_mask(img, err, raw, threshold=0.35, min_area=20)
+    # all spurious 2x2 speck regions (area 4 < 20) removed
+    from scipy import ndimage
+
+    labeled, n = ndimage.label(refined & ~gt)
+    for idx in range(1, n + 1):
+        region = labeled == idx
+        # any surviving false-positive region must border the object
+        # (GrabCut boundary slack), not be an isolated speck
+        dil = ndimage.binary_dilation(gt, iterations=3)
+        assert (region & dil).any(), "isolated speck survived refinement"
+
+
+def test_get_dynamic_mask_refine_gate_runs_native_refiner():
+    """refine=True with no external refiner installed must run the native
+    hysteresis+GrabCut path (the refine_dynamic_mask_with_sam2 gate)."""
+    import jax.numpy as jnp
+
+    from monst3r_slam_tpu.core import lie
+    from monst3r_slam_tpu.dynamic import mask as dyn
+
+    img, err, gt = _synthetic_scene()
+    h, w = gt.shape
+
+    # flow estimator returning (measured - ego) = err along x so the internal
+    # min-max normalized error map reproduces `err` up to scaling
+    dyn.set_flow_estimator(lambda a, b: np.stack([err, np.zeros_like(err)], -1))
+    try:
+        K = jnp.asarray([[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1]])
+        T = lie.sim3_identity()
+        depth = jnp.ones((h, w))
+        m_raw = dyn.get_dynamic_mask(img, img, T, T, depth, K, refine=False)
+        m_ref = dyn.get_dynamic_mask(img, img, T, T, depth, K, refine=True)
+    finally:
+        dyn.set_flow_estimator(None)
+    assert _iou(m_ref, gt) > _iou(m_raw, gt)

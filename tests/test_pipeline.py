@@ -95,6 +95,26 @@ def test_pipeline_export(tmp_path, slam):
     assert raw.startswith(b"ply")
     assert b"element vertex 10" in raw
 
+    # Keyframe colors: gray fallback without uimg, real RGB when retained
+    n_kf = int(slam.mem.count)
+    slam._set_kf_uimg(0, np.full((H, W, 3), 255, np.uint8))
+    cols = slam.keyframe_colors()
+    assert cols.shape == (n_kf, H * W, 3)
+    np.testing.assert_allclose(cols[0], 1.0)
+    if n_kf > 1 and slam.kf_uimgs[1] is None:
+        np.testing.assert_allclose(cols[1], 0.5)
+
+    # Colored reconstruction PLY from retained keyframe images
+    evaluate.save_reconstruction(
+        tmp_path, "recon.ply",
+        np.asarray(slam.mem.T_WC[:n_kf]),
+        np.asarray(slam.mem.X_canon[:n_kf]),
+        np.asarray(slam.mem.C[:n_kf]),
+        cols,
+        conf_threshold=-1.0,
+    )
+    assert (tmp_path / "recon.ply").read_bytes().startswith(b"ply")
+
 
 def test_ate_rmse_identity():
     from monst3r_slam_tpu.app.evaluate import ate_rmse

@@ -42,3 +42,33 @@ def test_convex_upsample_constant_flow():
     assert up.shape == (h * 8, w * 8, 2)
     np.testing.assert_allclose(up[8:-8, 8:-8, 0], 16.0, atol=1e-4)
     np.testing.assert_allclose(up[8:-8, 8:-8, 1], -8.0, atol=1e-4)
+
+
+def test_raft_wired_into_dynamic_mask_pipeline():
+    """VERDICT item 2: the JAX RAFT must actually execute inside the
+    dynamic-mask path when installed (DIS is only the uninstalled fallback)."""
+    from monst3r_slam_tpu.core import lie
+    from monst3r_slam_tpu.dynamic import mask as dyn
+
+    h, w = 32, 40
+    cfg = raft.RAFTConfig(iters=2)
+    params = raft.init_raft_params(jax.random.PRNGKey(0), cfg)
+    calls = []
+    base = raft.make_raft_flow_estimator(params, cfg)
+
+    def counting(img_i, img_j):
+        calls.append(1)
+        return base(img_i, img_j)
+
+    dyn.set_flow_estimator(counting)
+    try:
+        rng = np.random.default_rng(0)
+        img_i = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        img_j = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        K = jnp.asarray([[50.0, 0, w / 2], [0, 50.0, h / 2], [0, 0, 1]])
+        T = lie.sim3_identity()
+        m = dyn.get_dynamic_mask(img_i, img_j, T, T, jnp.ones((h, w)), K)
+    finally:
+        dyn.set_flow_estimator(None)
+    assert calls, "RAFT estimator was not invoked by get_dynamic_mask"
+    assert m.shape == (h, w) and m.dtype == bool

@@ -91,15 +91,46 @@ def test_fuse_pointmap_weighted():
     X2 = jnp.zeros((4, 3))
     C2 = jnp.full((4, 1), 1.0)
     # First obs: replaces
-    X, C, N = fuse_pointmap(X2, C2, jnp.zeros((), jnp.int32), X1, C1)
+    X, C, N, _ = fuse_pointmap(X2, C2, jnp.zeros((), jnp.int32), X1, C1)
     np.testing.assert_allclose(X, X1)
     np.testing.assert_allclose(C, C1)
     assert int(N) == 1
     # Second obs: confidence-weighted mean
-    X, C, N = fuse_pointmap(X1, C1, jnp.ones((), jnp.int32), X2, C2)
+    X, C, N, _ = fuse_pointmap(X1, C1, jnp.ones((), jnp.int32), X2, C2)
     np.testing.assert_allclose(X, jnp.full((4, 3), 2.0 / 3.0))
     np.testing.assert_allclose(C, jnp.full((4, 1), 3.0))
     assert int(N) == 2
+
+
+def test_fuse_pointmap_best_score():
+    """best_score mode keeps the pointmap with the higher confidence score
+    (reference frame.py:68-86, filtering_score median/mean)."""
+    X_hi = jnp.ones((4, 3))
+    C_hi = jnp.full((4, 1), 3.0)
+    X_lo = jnp.zeros((4, 3))
+    C_lo = jnp.full((4, 1), 1.0)
+    zero = jnp.zeros((), jnp.int32)
+    one = jnp.ones((), jnp.int32)
+
+    # First obs always replaces and records its score
+    X, C, N, S = fuse_pointmap(X_lo, C_lo, zero, X_hi, C_hi, "best_score",
+                               jnp.zeros(()), "median")
+    np.testing.assert_allclose(X, X_hi)
+    assert float(S) == 3.0 and int(N) == 1
+    # A worse observation is rejected
+    X, C, N, S = fuse_pointmap(X, C, N, X_lo, C_lo, "best_score", S, "median")
+    np.testing.assert_allclose(X, X_hi)
+    np.testing.assert_allclose(C, C_hi)
+    assert float(S) == 3.0
+    # A better one replaces
+    C_best = jnp.full((4, 1), 5.0)
+    X, C, N, S = fuse_pointmap(X, C, N, X_lo, C_best, "best_score", S, "median")
+    np.testing.assert_allclose(X, X_lo)
+    assert float(S) == 5.0 and int(N) == 1
+    # mean scoring variant
+    _, _, _, S = fuse_pointmap(X_lo, C_lo, zero, X_hi, C_hi, "best_score",
+                               jnp.zeros(()), "mean")
+    assert float(S) == 3.0
 
 
 def test_track_pose_smoke():
