@@ -142,3 +142,120 @@ def test_config_from_arch_string():
     assert cfg.desc_conf_mode == ("exp", 0.0, INF)
     assert cfg.conf_mode == ("exp", 1.0, INF)
     assert cfg.hooks == (0, 6, 9, 12)
+
+
+def test_full_vitl_dims_parity():
+    """VERDICT item 5: converter parity at PRODUCTION dims (ViT-L encoder
+    1024/24/16, decoder 768/12/12, catmlp+dpt heads) — the exact architecture
+    of the MASt3R_ViTLarge_BaseDecoder_512 checkpoint — on a small image.
+    Guards the weight-name mapping and stacking at real shapes."""
+    from mast3r.model import AsymmetricMASt3R
+
+    cfg = ModelConfig()  # production ViT-L defaults
+    torch.manual_seed(1)
+    model = AsymmetricMASt3R(
+        output_mode="pts3d+desc24",
+        head_type="catmlp+dpt",
+        depth_mode=("exp", -INF, INF),
+        conf_mode=("exp", 1, INF),
+        desc_conf_mode=("exp", 0, INF),
+        two_confs=True,
+        enc_embed_dim=cfg.enc_dim,
+        enc_depth=cfg.enc_depth,
+        enc_num_heads=cfg.enc_heads,
+        dec_embed_dim=cfg.dec_dim,
+        dec_depth=cfg.dec_depth,
+        dec_num_heads=cfg.dec_heads,
+        pos_embed="RoPE100",
+        img_size=(H, W),
+        patch_embed_cls="PatchEmbedDust3R",
+        landscape_only=False,
+    ).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_state_dict(sd, cfg)
+
+    rng = np.random.default_rng(1)
+    img1 = rng.standard_normal((1, 3, H, W), dtype=np.float32) * 0.5
+    img2 = rng.standard_normal((1, 3, H, W), dtype=np.float32) * 0.5
+    (feat1_t, _), (r1_t, r2_t) = _torch_forward(model, img1, img2)
+
+    feat1, pos1 = jmodel.encode(
+        params, cfg, jnp.asarray(img1.transpose(0, 2, 3, 1)), dtype=jnp.float32
+    )
+    feat2, pos2 = jmodel.encode(
+        params, cfg, jnp.asarray(img2.transpose(0, 2, 3, 1)), dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(feat1), feat1_t.numpy(), atol=5e-4, rtol=1e-3
+    )
+    out = jmodel.decode(params, cfg, feat1, pos1, feat2, pos2, (H, W), dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out.X1), r1_t["pts3d"].numpy(), atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(out.C1), r1_t["conf"].numpy(), atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(out.D1), r1_t["desc"].numpy(), atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(out.Q1), r1_t["desc_conf"].numpy(), atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(out.X2), r2_t["pts3d"].numpy(), atol=5e-3, rtol=1e-2)
+
+
+def test_dust3r_variant_parity():
+    """MonST3R/DUSt3R convert path (head_type='dpt', no descriptor head,
+    shared dec_blocks2 fallback) vs the torch AsymmetricCroCo3DStereo."""
+    from dust3r.model import AsymmetricCroCo3DStereo
+
+    cfg = ModelConfig(
+        enc_depth=2, enc_dim=64, enc_heads=4,
+        dec_depth=12, dec_dim=48, dec_heads=4,
+        desc_dim=None, two_confs=False,
+    )
+    torch.manual_seed(2)
+    model = AsymmetricCroCo3DStereo(
+        output_mode="pts3d",
+        head_type="dpt",
+        depth_mode=("exp", -INF, INF),
+        conf_mode=("exp", 1, INF),
+        enc_embed_dim=cfg.enc_dim,
+        enc_depth=cfg.enc_depth,
+        enc_num_heads=cfg.enc_heads,
+        dec_embed_dim=cfg.dec_dim,
+        dec_depth=cfg.dec_depth,
+        dec_num_heads=cfg.dec_heads,
+        pos_embed="RoPE100",
+        img_size=(H, W),
+        patch_embed_cls="PatchEmbedDust3R",
+        landscape_only=False,
+    ).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_state_dict(sd, cfg)
+
+    rng = np.random.default_rng(2)
+    img1 = rng.standard_normal((1, 3, H, W), dtype=np.float32) * 0.5
+    img2 = rng.standard_normal((1, 3, H, W), dtype=np.float32) * 0.5
+    (_, _), (r1_t, r2_t) = _torch_forward(model, img1, img2)
+
+    feat1, pos1 = jmodel.encode(
+        params, cfg, jnp.asarray(img1.transpose(0, 2, 3, 1)), dtype=jnp.float32
+    )
+    feat2, pos2 = jmodel.encode(
+        params, cfg, jnp.asarray(img2.transpose(0, 2, 3, 1)), dtype=jnp.float32
+    )
+    out = jmodel.decode(params, cfg, feat1, pos1, feat2, pos2, (H, W), dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out.X1), r1_t["pts3d"].numpy(), atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(out.C1), r1_t["conf"].numpy(), atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(out.X2), r2_t["pts3d"].numpy(), atol=2e-3, rtol=1e-2)
+    assert out.D1 is None and out.Q1 is None
+
+
+def test_config_from_arch_string_dust3r_variant():
+    """MonST3R/DUSt3R checkpoints store an AsymmetricCroCo3DStereo ctor string
+    with no descriptor head (dust3r/model.py:25-43)."""
+    arch = (
+        "AsymmetricCroCo3DStereo(output_mode='pts3d', head_type='dpt', "
+        "depth_mode=('exp', -inf, inf), conf_mode=('exp', 1, inf), "
+        "enc_embed_dim=1024, enc_depth=24, enc_num_heads=16, "
+        "dec_embed_dim=768, dec_depth=12, dec_num_heads=12, "
+        "patch_embed_cls='PatchEmbedDust3R', img_size=(512, 512), "
+        "landscape_only=False)"
+    )
+    cfg = config_from_arch_string(arch)
+    assert cfg.desc_dim is None and not cfg.two_confs
+    assert cfg.enc_dim == 1024 and cfg.dec_depth == 12
+    assert cfg.depth_mode == ("exp", -INF, INF)

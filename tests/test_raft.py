@@ -72,3 +72,77 @@ def test_raft_wired_into_dynamic_mask_pipeline():
         dyn.set_flow_estimator(None)
     assert calls, "RAFT estimator was not invoked by get_dynamic_mask"
     assert m.shape == (h, w) and m.dtype == bool
+
+
+def test_raft_torch_converter_roundtrip(tmp_path):
+    """VERDICT item 5: the RAFT torch-checkpoint converter digests a
+    synthetically constructed state dict in the official RAFT naming/layout
+    (module.fnet/cnet/update_block.*, OIHW conv weights) and reproduces the
+    source parameters exactly — including identical flow output."""
+    import torch
+
+    cfg = raft.RAFTConfig(iters=2)
+    src = raft.init_raft_params(jax.random.PRNGKey(7), cfg)
+
+    sd = {}
+
+    def put_conv(name, p):
+        sd[f"{name}.weight"] = torch.from_numpy(
+            np.asarray(p["w"]).transpose(3, 2, 0, 1).copy()  # HWIO -> OIHW
+        )
+        if "b" in p:
+            sd[f"{name}.bias"] = torch.from_numpy(np.asarray(p["b"]).copy())
+
+    def put_in(name, p):
+        sd[f"{name}.weight"] = torch.from_numpy(np.asarray(p["w"]).copy())
+        sd[f"{name}.bias"] = torch.from_numpy(np.asarray(p["b"]).copy())
+
+    for pfx in ("fnet", "cnet"):
+        enc = src[pfx]
+        put_conv(f"{pfx}.conv1", enc["conv1"])
+        put_in(f"{pfx}.norm1", enc["norm1"])
+        put_conv(f"{pfx}.conv2", enc["conv2"])
+        for blk, (li, bi) in zip(enc["layers"], ((1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1))):
+            name = f"{pfx}.layer{li}.{bi}"
+            put_conv(f"{name}.conv1", blk["conv1"])
+            put_in(f"{name}.norm1", blk["norm1"])
+            put_conv(f"{name}.conv2", blk["conv2"])
+            put_in(f"{name}.norm2", blk["norm2"])
+            if "downsample" in blk:
+                put_conv(f"{name}.downsample.0", blk["downsample"])
+                put_in(f"{name}.downsample.1", blk["norm3"])
+    up = src["update"]
+    for k in ("convc1", "convc2", "convf1", "convf2", "conv"):
+        put_conv(f"update_block.encoder.{k}", up["encoder"][k])
+    for k in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
+        put_conv(f"update_block.gru.{k}", up["gru"][k])
+    put_conv("update_block.flow_head.conv1", up["flow_head"]["conv1"])
+    put_conv("update_block.flow_head.conv2", up["flow_head"]["conv2"])
+    put_conv("update_block.mask.0", up["mask"]["conv1"])
+    put_conv("update_block.mask.2", up["mask"]["conv2"])
+
+    # the real checkpoint prefixes everything with "module." and nests under
+    # a key (Tartan-C-T-TSKH checkpoints store the raw sd)
+    sd = {f"module.{k}": v for k, v in sd.items()}
+    path = tmp_path / "raft_synth.pth"
+    torch.save(sd, path)
+
+    conv = raft.raft_params_from_torch(str(path))
+    # exact value round-trip on every leaf
+    flat_src = jax.tree_util.tree_leaves_with_path(src)
+    flat_conv = dict(
+        (jax.tree_util.keystr(p), l) for p, l in jax.tree_util.tree_leaves_with_path(conv)
+    )
+    assert len(flat_src) == len(flat_conv)
+    for p, leaf in flat_src:
+        key = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_conv[key]),
+                                   err_msg=key, atol=1e-6)
+
+    # converted params drive raft_flow to the identical result
+    h, w = 32, 40
+    img1 = jax.random.uniform(jax.random.PRNGKey(1), (h, w, 3)) * 255
+    img2 = jax.random.uniform(jax.random.PRNGKey(2), (h, w, 3)) * 255
+    f_src = raft.raft_flow(src, img1, img2, cfg)
+    f_conv = raft.raft_flow(conv, img1, img2, cfg)
+    np.testing.assert_allclose(np.asarray(f_src), np.asarray(f_conv), atol=1e-5)
