@@ -145,8 +145,10 @@ def main():
             fps = i / (time.time() - t0)
             print(f"frame {i}/{n}  FPS: {fps:.3f}  keyframes: {int(slam.mem.count)}")
 
+    slam.finalize()  # drain async backend work before export
     elapsed = time.time() - t0
-    print(f"done: {n} frames in {elapsed:.1f}s = {n / elapsed:.3f} FPS")
+    print(f"done: {n} frames in {elapsed:.1f}s = {n / elapsed:.3f} FPS "
+          f"(backend stall {slam.backend_stall_s:.2f}s)")
 
     if dataset.save_results:
         save_dir, seq_name = evaluate.prepare_savedir(args, dataset)

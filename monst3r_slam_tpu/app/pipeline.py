@@ -17,6 +17,9 @@ makes runs deterministic by construction.
 from __future__ import annotations
 
 import dataclasses
+import queue
+import threading
+import time
 from functools import partial
 from typing import List, Optional
 
@@ -31,7 +34,7 @@ from monst3r_slam_tpu.ops import matching
 from monst3r_slam_tpu.slam import retrieval as retrieval_mod
 from monst3r_slam_tpu.slam import tracker as tracker_mod
 from monst3r_slam_tpu.slam.backend import BackendConfig
-from monst3r_slam_tpu.slam.factor_graph import FactorGraph
+from monst3r_slam_tpu.slam.factor_graph import FactorGraph, _next_pow2
 from monst3r_slam_tpu.slam.frame import (
     Frame,
     KeyframeMemory,
@@ -97,7 +100,8 @@ def matching_config_from_dict(cfg: dict) -> matching.MatchingConfig:
 
 
 def make_matcher(cfg: dict):
-    """Matcher dispatch: 'tiled' (MXU-native, default) or 'lm' (the
+    """Matcher dispatch: 'tiled' (MXU-native XLA, default), 'pallas' (same
+    tiling with the on-chip Pallas kernel for the hot loop), or 'lm' (the
     reference-semantics iterative-projection path)."""
     mcfg = matching_config_from_dict(cfg)
     mode = cfg.get("matching", {}).get("mode", "tiled")
@@ -108,9 +112,13 @@ def make_matcher(cfg: dict):
         from monst3r_slam_tpu.ops import matching_tiled
 
         tcfg = matching_tiled.TiledConfig()
+        use_pallas = mode == "pallas"
 
         def match_fn(X11, X21, D11, D21, idx_init=None):
-            return matching_tiled.match(X11, X21, D11, D21, idx_init, cfg=mcfg, tcfg=tcfg)
+            return matching_tiled.match(
+                X11, X21, D11, D21, idx_init, cfg=mcfg, tcfg=tcfg,
+                use_pallas=use_pallas,
+            )
 
     return match_fn
 
@@ -215,6 +223,24 @@ class SLAMSystem:
         self.kf_uimgs: List[Optional[np.ndarray]] = []  # host uint8 keyframe images
         self.kf_dyn_masks: List[Optional[np.ndarray]] = []  # per-keyframe dynamic masks
         self.cur_uimg: Optional[np.ndarray] = None
+        # Async backend (reference default: tracking / global-opt overlap via
+        # a separate backend process, main_monster_slam.py:81-149,239-240;
+        # `single_thread: True` is the deterministic eval mode). Here the
+        # backend is a worker thread: JAX dispatch is thread-safe, retrieval
+        # and graph assembly are host work, and device programs from both
+        # threads interleave on the chip's queue.
+        self.single_thread = bool(self.cfg.get("single_thread", True))
+        self.backend_stall_s = 0.0  # main-thread time blocked on backend work
+        self._retr_lock = threading.Lock()
+        self._graph_lock = threading.Lock()
+        self._backend_jobs: queue.Queue = queue.Queue()
+        self._backend_results: queue.Queue = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        if not self.single_thread:
+            self._worker = threading.Thread(
+                target=self._backend_worker, name="slam-backend", daemon=True
+            )
+            self._worker.start()
 
     # ------------------------------------------------------------------
     # Model wrappers
@@ -290,66 +316,75 @@ class SLAMSystem:
         feats = retrieval_mod.prep_features(
             self.retrieval_params, frame.feat[None]
         )
-        return self.retrieval_db.update(
-            np.asarray(feats[0]),
-            add_after_query=add_after_query,
-            k=int(self.retr_cfg.get("k", 3)),
-            min_thresh=float(self.retr_cfg.get("min_thresh", 5e-3)),
-        )
+        with self._retr_lock:  # DB is host state shared with the async worker
+            return self.retrieval_db.update(
+                np.asarray(feats[0]),
+                add_after_query=add_after_query,
+                k=int(self.retr_cfg.get("k", 3)),
+                min_thresh=float(self.retr_cfg.get("min_thresh", 5e-3)),
+            )
 
     # ------------------------------------------------------------------
     # Factor graph edges (global_opt.py:30-102 add_factors)
     # ------------------------------------------------------------------
 
     def add_factors(self, kf_i_list: List[int], kf_j_list: List[int], min_match_frac, is_reloc=False) -> bool:
+        """All edges decoded + matched in ONE batched device pass (2E pair
+        decodes; the reference runs 4 serial decoder calls per edge,
+        mast3r_utils.py:87-120), with a single host sync for the match-frac
+        gates instead of one per edge."""
+        E = len(kf_i_list)
+        if E == 0:
+            return False
+        ii = jnp.asarray(kf_i_list)
+        jj = jnp.asarray(kf_j_list)
+        feat_i, pos_i = self.mem.feat[ii], self.mem.pos[ii]  # (E, n, d)
+        feat_j, pos_j = self.mem.feat[jj], self.mem.pos[jj]
+        out2 = self._decode_pair(
+            jnp.concatenate([feat_i, feat_j]),
+            jnp.concatenate([pos_i, pos_j]),
+            jnp.concatenate([feat_j, feat_i]),
+            jnp.concatenate([pos_j, pos_i]),
+        )
+
+        def half(t, k):
+            return None if t is None else t[k * E : (k + 1) * E]
+
+        out_ij = model_api.PairOutput(*[half(t, 0) for t in out2])
+        out_ji = model_api.PairOutput(*[half(t, 1) for t in out2])
+        # out_ij: (Xii, Xji); out_ji: (Xjj, Xij)
+        idx_i2j, valid_j = self.match_fn(
+            out_ij.X1, out_ij.X2, out_ij.D1, out_ij.D2
+        )
+        idx_j2i, valid_i = self.match_fn(
+            out_ji.X1, out_ji.X2, out_ji.D1, out_ji.D2
+        )
+        Qii = out_ij.Q1.reshape(E, -1, 1)
+        Qji = out_ij.Q2.reshape(E, -1, 1)
+        Qjj = out_ji.Q1.reshape(E, -1, 1)
+        Qij = out_ji.Q2.reshape(E, -1, 1)
+        Qj = jnp.sqrt(jnp.take_along_axis(Qii, idx_i2j[..., None], axis=1) * Qji)
+        Qi = jnp.sqrt(jnp.take_along_axis(Qjj, idx_j2i[..., None], axis=1) * Qij)
+
+        Q_conf = self.backend_cfg.Q_conf
+        valid_jq = valid_j & (Qj > Q_conf)
+        valid_iq = valid_i & (Qi > Q_conf)
+        frac_j = jnp.mean(valid_jq.astype(jnp.float32), axis=(1, 2))  # (E,)
+        frac_i = jnp.mean(valid_iq.astype(jnp.float32), axis=(1, 2))
+        fracs = np.asarray(jnp.minimum(frac_j, frac_i))  # single host sync
+
         added = False
-        for i, j in zip(kf_i_list, kf_j_list):
-            feat_i, pos_i = self.mem.feat[i][None], self.mem.pos[i][None]
-            feat_j, pos_j = self.mem.feat[j][None], self.mem.pos[j][None]
-            # Both decode orders in ONE batched pass (reference runs 4 serial
-            # decoder calls per edge, mast3r_utils.py:87-120)
-            out2 = self._decode_pair(
-                jnp.concatenate([feat_i, feat_j]),
-                jnp.concatenate([pos_i, pos_j]),
-                jnp.concatenate([feat_j, feat_i]),
-                jnp.concatenate([pos_j, pos_i]),
-            )
-
-            def half(t, k):
-                return None if t is None else t[k : k + 1]
-
-            out_ij = model_api.PairOutput(*[half(t, 0) for t in out2])
-            out_ji = model_api.PairOutput(*[half(t, 1) for t in out2])
-            # out_ij: (Xii, Xji); out_ji: (Xjj, Xij)
-            idx_i2j, valid_j = self.match_fn(
-                out_ij.X1, out_ij.X2, out_ij.D1, out_ij.D2
-            )
-            idx_j2i, valid_i = self.match_fn(
-                out_ji.X1, out_ji.X2, out_ji.D1, out_ji.D2
-            )
-            Qii = out_ij.Q1.reshape(1, -1, 1)
-            Qji = out_ij.Q2.reshape(1, -1, 1)
-            Qjj = out_ji.Q1.reshape(1, -1, 1)
-            Qij = out_ji.Q2.reshape(1, -1, 1)
-            Qj = jnp.sqrt(jnp.take_along_axis(Qii, idx_i2j[..., None], axis=1) * Qji)
-            Qi = jnp.sqrt(jnp.take_along_axis(Qjj, idx_j2i[..., None], axis=1) * Qij)
-
-            Q_conf = self.backend_cfg.Q_conf
-            valid_jq = valid_j & (Qj > Q_conf)
-            valid_iq = valid_i & (Qi > Q_conf)
-            frac_j = float(jnp.mean(valid_jq.astype(jnp.float32)))
-            frac_i = float(jnp.mean(valid_iq.astype(jnp.float32)))
-
+        for e, (i, j) in enumerate(zip(kf_i_list, kf_j_list)):
             consecutive = i == j - 1
-            invalid = (min(frac_j, frac_i) < min_match_frac) and not consecutive
+            invalid = (fracs[e] < min_match_frac) and not consecutive
             if invalid and is_reloc:
                 return False
             if invalid:
                 continue
             self.graph.add_edge_pair(
                 i, j,
-                idx_i2j[0], valid_j[0, :, 0], Qj[0, :, 0],
-                idx_j2i[0], valid_i[0, :, 0], Qi[0, :, 0],
+                idx_i2j[e], valid_j[e, :, 0], Qj[e, :, 0],
+                idx_j2i[e], valid_i[e, :, 0], Qi[e, :, 0],
             )
             added = True
         return added
@@ -429,22 +464,102 @@ class SLAMSystem:
 
     def backend_step(self, kf_idx: int, frame: Frame):
         """Graph construction for a new keyframe: consecutive + retrieval
-        edges, then a global solve (run_backend, main.py:84-106)."""
+        edges, then a global solve (run_backend, main.py:84-106).
+
+        `single_thread: True` (eval default): synchronous, deterministic.
+        `single_thread: False` (reference runtime default): the whole step is
+        handed to the backend worker; solve inputs are SNAPSHOT here on the
+        main thread because the tracker donates the pointmap buffers every
+        frame — the worker must never slice live keyframe memory."""
+        t0 = time.perf_counter()
+        if self.single_thread:
+            self._backend_job_body(kf_idx, frame, None)
+            self.backend_stall_s += time.perf_counter() - t0
+            return
+        n_kf = int(self.mem.count)
+        P = min(_next_pow2(n_kf), self.mem.capacity)
+        snap = (
+            self.mem.T_WC[:P],
+            self.mem.X_canon[:P],
+            self.mem.C[:P]
+            / jnp.maximum(self.mem.N[:P, None, None].astype(jnp.float32), 1.0),
+            n_kf,
+        )
+        self._backend_jobs.put((kf_idx, frame, snap))
+        self.backend_stall_s += time.perf_counter() - t0
+
+    def _backend_job_body(self, kf_idx: int, frame: Frame, snap):
         retrieved = self._retrieve(frame, add_after_query=True)
         kf_i = [idx for idx in retrieved if idx < kf_idx - 1]
         ii = kf_i + ([kf_idx - 1] if kf_idx > 0 else [])
         jj = [kf_idx] * len(ii)
-        if ii:
-            self.add_factors(
-                ii, jj, self.cfg.get("local_opt", {}).get("min_match_frac", 0.1)
+        with self._graph_lock:
+            if ii:
+                self.add_factors(
+                    ii, jj, self.cfg.get("local_opt", {}).get("min_match_frac", 0.1)
+                )
+            if snap is None:  # synchronous: solve on live memory
+                self.solve_backend()
+                return
+            Twc, Xs, Cs, n_kf = snap
+            Twc_new = self.graph.solve_poses(
+                Twc, Xs, Cs, n_kf, self.backend_cfg,
+                use_calib=self.use_calib, K=self.K, img_size=self.img_size,
+                host_solve=self.cfg.get("local_opt", {}).get("solver", "device") == "host",
             )
-        self.solve_backend()
+        if Twc_new is not None:
+            # Only the n_kf live poses: the pow2 padding slots must not
+            # clobber keyframes appended after the snapshot was taken.
+            self._backend_results.put((Twc_new, n_kf))
+
+    def _backend_worker(self):
+        while True:
+            job = self._backend_jobs.get()
+            if job is None:
+                self._backend_jobs.task_done()
+                return
+            try:
+                self._backend_job_body(*job)
+            except Exception:  # keep the loop alive; surface the failure
+                import traceback
+
+                traceback.print_exc()
+            finally:
+                self._backend_jobs.task_done()
+
+    def _apply_backend_results(self) -> bool:
+        """Fold finished async solves into live keyframe poses (the
+        reference's shared-memory write-back, frame.py:362)."""
+        applied = False
+        while True:
+            try:
+                Twc_new, n_kf = self._backend_results.get_nowait()
+            except queue.Empty:
+                break
+            self.mem = kf_update_poses(
+                self.mem, Twc_new[:n_kf], jnp.arange(n_kf)
+            )
+            applied = True
+        return applied
+
+    def finalize(self):
+        """Drain pending async backend work and apply results (gives the
+        async mode a deterministic final state for export)."""
+        if self._worker is not None:
+            self._backend_jobs.join()
+        self._apply_backend_results()
 
     # ------------------------------------------------------------------
     # Relocalization (main.py:29-78)
     # ------------------------------------------------------------------
 
     def relocalize(self, frame: Frame) -> bool:
+        if self._worker is not None:
+            # Reloc needs a quiescent graph; wait out in-flight backend jobs
+            # (the reference's RELOC also round-trips the backend process,
+            # main_monster_slam.py:29-78).
+            self._backend_jobs.join()
+            self._apply_backend_results()
         retrieved = self._retrieve(frame, add_after_query=False)
         if not retrieved:
             return False
@@ -452,16 +567,18 @@ class SLAMSystem:
         frame = dataclasses.replace(frame, T_WC=self.mem.T_WC[retrieved[0]])
         self.mem = kf_append(self.mem, frame)
         self._set_kf_uimg(kf_idx, self.cur_uimg)
-        ok = self.add_factors(
-            [retrieved[0]],
-            [kf_idx],
-            self.reloc_cfg.get("min_match_frac", 0.3),
-            is_reloc=self.reloc_cfg.get("strict", True),
-        )
+        with self._graph_lock:
+            ok = self.add_factors(
+                [retrieved[0]],
+                [kf_idx],
+                self.reloc_cfg.get("min_match_frac", 0.3),
+                is_reloc=self.reloc_cfg.get("strict", True),
+            )
         if ok:
             # Seed pose from matched keyframe and solve
             self._retrieve(frame, add_after_query=True)
-            self.solve_backend()
+            with self._graph_lock:
+                self.solve_backend()
             self.last_T_WC = np.asarray(self.mem.T_WC[kf_idx])
             return True
         # Roll back the tentative keyframe (add-then-maybe-pop hazard noted
@@ -474,6 +591,7 @@ class SLAMSystem:
     # ------------------------------------------------------------------
 
     def process_frame(self, frame_id: int, timestamp, img_np: np.ndarray, uimg=None):
+        self._apply_backend_results()  # async pose write-back between frames
         self.timestamps.append(timestamp)
         self.cur_uimg = uimg
         frame = self.make_frame(frame_id, img_np)

@@ -43,6 +43,13 @@ class TiledConfig(NamedTuple):
     crop: int = 64  # target crop per tile (>= 2*(radius*dilation_max) + spread)
     coarse_stride: int = 8
     chunk_tiles: int = 64  # tiles per scan step (memory bound)
+    # Warm-start fallback: when a tile's warm-start median disagrees with the
+    # global coarse search by more than crop/2 - reseed_margin (stale init —
+    # fast motion beyond the crop), the crop re-centers on the coarse result.
+    # The reference's per-pixel LM (matching_kernels.cu:119-275) has no such
+    # failure mode only because its cold path is seeded identically each call;
+    # this keeps the tiled matcher's warm path equally unconditional.
+    reseed_margin: int = 8
 
 
 def _normalize(x):
@@ -130,7 +137,7 @@ def _subpixel_peak(scores: jax.Array, best: jax.Array, crop: int):
     return s0 + peak_gain(sxm, sxp, s0) + peak_gain(sym, syp, s0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "tcfg", "use_init"))
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "use_init", "use_pallas"))
 def match_tiled(
     X11: jax.Array,  # (1, h, w, 3) target pointmap (frame i)
     X21: jax.Array,  # (1, h, w, 3) query pointmap (frame j, in i's frame)
@@ -140,6 +147,7 @@ def match_tiled(
     cfg: MatchingConfig = MatchingConfig(),
     tcfg: TiledConfig = TiledConfig(),
     use_init: bool = False,
+    use_pallas: bool = False,
 ):
     """Batched (b=1 per call; vmap for more) tiled matcher.
 
@@ -155,15 +163,22 @@ def match_tiled(
     rays_img = _normalize(X11[0])  # (h, w, 3)
     queries = _normalize(X21[0].reshape(hw, 3))
 
-    # --- initial positions: warm start or global coarse search
+    # --- initial positions: warm start or global coarse search. The coarse
+    # search always runs (one stride-8 batched matmul — MXU noise) so stale
+    # warm starts can be detected and re-seeded per tile.
+    p_coarse = _coarse_search(rays_img, queries, tcfg.coarse_stride)
+    med_coarse = jnp.median(_tile_queries(p_coarse, h, w, tile), axis=1)  # (T, 2)
     if use_init and idx_1_to_2_init is not None:
         p_init = lin_to_pixel(idx_1_to_2_init[0], w).astype(jnp.float32)
+        med_warm = jnp.median(_tile_queries(p_init, h, w, tile), axis=1)
+        # If the coarse estimate falls outside the warm crop, the warm start
+        # cannot contain the true match — re-center that tile on coarse.
+        stale = jnp.max(jnp.abs(med_warm - med_coarse), axis=-1) > (
+            crop // 2 - tcfg.reseed_margin
+        )
+        med = jnp.where(stale[:, None], med_coarse, med_warm)
     else:
-        p_init = _coarse_search(rays_img, queries, tcfg.coarse_stride)
-
-    # --- per-tile crop corners from the median initial position
-    p_tiles = _tile_queries(p_init, h, w, tile)  # (T, tsz, 2)
-    med = jnp.median(p_tiles, axis=1)  # (T, 2)
+        med = med_coarse
     cx = jnp.clip(jnp.round(med[:, 0]).astype(jnp.int32) - crop // 2, 0, w - crop)
     cy = jnp.clip(jnp.round(med[:, 1]).astype(jnp.int32) - crop // 2, 0, h - crop)
     corners = jnp.stack([cx, cy], axis=-1)  # (T, 2) (x, y)
@@ -220,25 +235,43 @@ def match_tiled(
         v_abs = corners_c[:, None, 1] + pv
         return u_abs, v_abs, converged
 
-    # chunk tiles through lax.map to bound score-map memory
-    chunk = min(tcfg.chunk_tiles, n_tiles)
-    n_chunks = -(-n_tiles // chunk)
-    pad = n_chunks * chunk - n_tiles
+    if use_pallas:
+        # On-chip kernel: packed 128-ch crops DMA'd to VMEM, NT matmuls on
+        # the MXU, exact window-argmax refinement (ops/matching_pallas.py).
+        from monst3r_slam_tpu.ops.matching_pallas import (
+            PallasTileConfig,
+            tile_match_pallas,
+        )
 
-    def padt(x):
-        return jnp.concatenate([x, x[:pad]], axis=0) if pad else x
+        u_abs, v_abs, conv = tile_match_pallas(
+            rays_img, D11[0], q_rays, q_desc, corners,
+            tcfg=PallasTileConfig(
+                tile=tile, crop=crop, window=cfg.radius * cfg.dilation_max,
+                sub_q=min(64, tsz),
+            ),
+            conv_thresh=cfg.convergence_thresh,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        # chunk tiles through lax.map to bound score-map memory
+        chunk = min(tcfg.chunk_tiles, n_tiles)
+        n_chunks = -(-n_tiles // chunk)
+        pad = n_chunks * chunk - n_tiles
 
-    u_abs, v_abs, conv = jax.lax.map(
-        process_chunk,
-        (
-            padt(corners).reshape(n_chunks, chunk, 2),
-            padt(q_rays).reshape(n_chunks, chunk, tsz, 3),
-            padt(q_desc).reshape(n_chunks, chunk, tsz, -1),
-        ),
-    )
-    u_abs = u_abs.reshape(-1, tsz)[:n_tiles]
-    v_abs = v_abs.reshape(-1, tsz)[:n_tiles]
-    conv = conv.reshape(-1, tsz)[:n_tiles]
+        def padt(x):
+            return jnp.concatenate([x, x[:pad]], axis=0) if pad else x
+
+        u_abs, v_abs, conv = jax.lax.map(
+            process_chunk,
+            (
+                padt(corners).reshape(n_chunks, chunk, 2),
+                padt(q_rays).reshape(n_chunks, chunk, tsz, 3),
+                padt(q_desc).reshape(n_chunks, chunk, tsz, -1),
+            ),
+        )
+        u_abs = u_abs.reshape(-1, tsz)[:n_tiles]
+        v_abs = v_abs.reshape(-1, tsz)[:n_tiles]
+        conv = conv.reshape(-1, tsz)[:n_tiles]
 
     p = jnp.stack([u_abs, v_abs], axis=-1)  # (T, tsz, 2)
     p_flat = _untile(p.astype(jnp.int32), h, w, tile)  # (hw, 2)
@@ -254,10 +287,12 @@ def match_tiled(
 
 
 def match(X11, X21, D11, D21, idx_1_to_2_init=None,
-          cfg: MatchingConfig = MatchingConfig(), tcfg: TiledConfig = TiledConfig()):
+          cfg: MatchingConfig = MatchingConfig(), tcfg: TiledConfig = TiledConfig(),
+          use_pallas: bool = False):
     """Drop-in replacement for ops.matching.match using the tiled matcher.
 
-    Handles batch dim by vmapping the single-image kernel.
+    Handles batch dim by looping the single-image kernel (the Pallas path
+    cannot be vmapped; b is 1 for tracking and small for graph edges).
     """
     b = X11.shape[0]
     use_init = idx_1_to_2_init is not None
@@ -267,8 +302,15 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
     def one(x11, x21, d11, d21, idx0):
         return match_tiled(
             x11[None], x21[None], d11[None], d21[None], idx0[None],
-            cfg=cfg, tcfg=tcfg, use_init=use_init,
+            cfg=cfg, tcfg=tcfg, use_init=use_init, use_pallas=use_pallas,
         )
+
+    if use_pallas:
+        outs = [one(X11[k], X21[k], D11[k], D21[k], idx_1_to_2_init[k])
+                for k in range(b)]
+        idx = jnp.concatenate([o[0] for o in outs])
+        valid = jnp.concatenate([o[1] for o in outs])
+        return idx, valid
 
     idx, valid = jax.vmap(one)(X11, X21, D11, D21, idx_1_to_2_init)
     return idx[:, 0], valid[:, 0]

@@ -215,10 +215,10 @@ def _edge_terms(
     return H, g
 
 
-def _assemble_and_solve(H, g, ii, jj, edge_valid, n_poses: int, cfg: BackendConfig):
-    """Scatter edge blocks into the dense reduced system and solve.
+def _assemble_dense(H, g, ii, jj, edge_valid, n_poses: int, cfg: BackendConfig):
+    """Scatter edge blocks into the dense reduced (dim, dim) system.
 
-    Returns dx (P, 7) with pinned poses zeroed.
+    Returns (H_opt (dim, dim) undamped, g_opt (dim,)), dim = (P - pin) * 7.
     """
     P = n_poses
     pin = cfg.pin
@@ -251,8 +251,15 @@ def _assemble_and_solve(H, g, ii, jj, edge_valid, n_poses: int, cfg: BackendConf
         rows = a[:, None] * 7 + r7[None, :]
         gd = gd.at[rows].add(vec)
 
-    H_opt = Hd[:dim, :dim]
-    g_opt = gd[:dim]
+    return Hd[:dim, :dim], gd[:dim]
+
+
+def _solve_dense(H_opt, g_opt, n_poses: int, cfg: BackendConfig):
+    """Damped Cholesky solve of the reduced system -> dx (P, 7), pinned rows
+    zeroed."""
+    pin = cfg.pin
+    n_opt = n_poses - pin
+    dim = n_opt * 7
     # Tikhonov floor keeps padded (all-zero) pose blocks factorizable and
     # guards f32 conditioning (reference solves in f64 on the host).
     damp = 1e-6 * jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(H_opt))), 1.0)
@@ -264,6 +271,11 @@ def _assemble_and_solve(H, g, ii, jj, edge_valid, n_poses: int, cfg: BackendConf
     dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
     dx = dx.reshape(n_opt, 7)
     return jnp.concatenate([jnp.zeros((pin, 7)), dx], axis=0)
+
+
+def _assemble_and_solve(H, g, ii, jj, edge_valid, n_poses: int, cfg: BackendConfig):
+    H_opt, g_opt = _assemble_dense(H, g, ii, jj, edge_valid, n_poses, cfg)
+    return _solve_dense(H_opt, g_opt, n_poses, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_poses", "use_calib", "img_size", "residual_kind"))
@@ -322,31 +334,97 @@ def _edge_system(
     H, g = _edge_terms(
         Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg, calib
     )
-    P = n_poses
-    pin = cfg.pin
-    n_opt = P - pin
-    dim = n_opt * 7
+    return _assemble_dense(H, g, ii, jj, edge_valid, n_poses, cfg)
 
-    def opt_idx(a):
-        oi = a - pin
-        return jnp.where((oi < 0) | (~edge_valid), n_opt, oi)
 
-    oi, oj = opt_idx(ii), opt_idx(jj)
-    Hd = jnp.zeros((dim + 7, dim + 7))
-    gd = jnp.zeros((dim + 7,))
-    r7 = jnp.arange(7)
-    for a, b, blk in (
-        (oi, oi, H[:, 0:7, 0:7]),
-        (oi, oj, H[:, 0:7, 7:14]),
-        (oj, oi, H[:, 7:14, 0:7]),
-        (oj, oj, H[:, 7:14, 7:14]),
-    ):
-        rows = a[:, None, None] * 7 + r7[None, :, None]
-        cols = b[:, None, None] * 7 + r7[None, None, :]
-        Hd = Hd.at[rows, cols].add(blk)
-    for a, vec in ((oi, g[:, 0:7]), (oj, g[:, 7:14])):
-        gd = gd.at[a[:, None] * 7 + r7[None, :]].add(vec)
-    return Hd[:dim, :dim], gd[:dim]
+def gauss_newton_sharded(
+    mesh,
+    Twc: jax.Array,  # (P, 8) replicated
+    Xs: jax.Array,  # (P, hw, 3) replicated
+    Cs: jax.Array,  # (P, hw, 1) replicated
+    ii: jax.Array,  # (E,) — E must divide by mesh dp size
+    jj: jax.Array,
+    idx_ii2jj: jax.Array,  # (E, hw)
+    valid_match: jax.Array,
+    Q: jax.Array,
+    edge_valid: jax.Array,
+    cfg: BackendConfig,
+    n_poses: int,
+    use_calib: bool = False,
+    K: jax.Array | None = None,
+    img_size=None,
+    residual_kind: str = "ray",
+    axis: str = "dp",
+):
+    """Multi-chip global GN: edges sharded over the mesh's `axis`.
+
+    The per-edge Hessian/gradient accumulation (`_edge_terms`) is
+    embarrassingly parallel over E; each device assembles its local dense
+    (dim, dim) contribution and ONE `psum` over ICI reduces the system —
+    collective volume is O(P^2) per iteration, independent of hw and E.
+    The tiny replicated Cholesky + retraction runs redundantly per device
+    (cheaper than gathering). Whole loop is one jit: no host sync per
+    iteration, matching the single-chip `gauss_newton`.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PS
+    from jax.experimental.shard_map import shard_map
+
+    calib = (K, img_size[0], img_size[1]) if use_calib else None
+    n_dev = mesh.shape[axis]
+    E = ii.shape[0]
+    assert E % n_dev == 0, f"edge count {E} must divide dp size {n_dev} (pad edges)"
+
+    edge_specs = PS(axis)
+    rep = PS()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, edge_specs, edge_specs, edge_specs,
+                  edge_specs, edge_specs, edge_specs),
+        out_specs=(rep, rep),
+        check_rep=False,
+    )
+    def local_system(Twc_r, Xs_r, Cs_r, ii_s, jj_s, idx_s, vm_s, Q_s, ev_s):
+        H, g = _edge_terms(
+            Twc_r, Xs_r, Cs_r, ii_s, jj_s, idx_s, vm_s, Q_s, ev_s, cfg, calib,
+            residual_kind,
+        )
+        H_opt, g_opt = _assemble_dense(H, g, ii_s, jj_s, ev_s, n_poses, cfg)
+        return (
+            jax.lax.psum(H_opt, axis),
+            jax.lax.psum(g_opt, axis),
+        )
+
+    @jax.jit
+    def run(Twc, Xs, Cs, ii, jj, idx, vm, Q, ev):
+        def cond(state):
+            _, it, delta = state
+            return (it < cfg.max_iters) & (delta >= cfg.delta_norm)
+
+        def body(state):
+            Twc, it, _ = state
+            H_opt, g_opt = local_system(Twc, Xs, Cs, ii, jj, idx, vm, Q, ev)
+            dx = _solve_dense(H_opt, g_opt, n_poses, cfg)
+            return lie.sim3_retr(Twc, dx), it + 1, jnp.linalg.norm(dx)
+
+        state = (Twc, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf))
+        Twc_out, iters, _ = jax.lax.while_loop(cond, body, state)
+        return Twc_out, iters
+
+    # Place edge arrays on the mesh so XLA shards instead of replicating
+    shard = NamedSharding(mesh, edge_specs)
+    repl = NamedSharding(mesh, rep)
+    args = (
+        jax.device_put(Twc, repl), jax.device_put(Xs, repl),
+        jax.device_put(Cs, repl),
+        jax.device_put(ii, NamedSharding(mesh, PS(axis))),
+        jax.device_put(jj, NamedSharding(mesh, PS(axis))),
+        jax.device_put(idx_ii2jj, shard), jax.device_put(valid_match, shard),
+        jax.device_put(Q, shard), jax.device_put(edge_valid, NamedSharding(mesh, PS(axis))),
+    )
+    return run(*args)
 
 
 def gauss_newton_host_solve(

@@ -89,11 +89,36 @@ class FactorGraph:
         if self.n_edges == 0 or n_kf <= cfg.pin:
             return mem
         P = min(_next_pow2(n_kf), mem.capacity)
-        E = _next_pow2(self.n_edges)
+        Twc_new = self.solve_poses(
+            mem.T_WC[:P], mem.X_canon[:P],
+            mem.C[:P] / jnp.maximum(mem.N[:P, None, None].astype(jnp.float32), 1.0),
+            n_kf, cfg, use_calib=use_calib, K=K, img_size=img_size,
+            host_solve=host_solve,
+        )
+        if Twc_new is None:
+            return mem
+        return kf_update_poses(mem, Twc_new, jnp.arange(P))
 
-        Twc = mem.T_WC[:P]
-        Xs = mem.X_canon[:P]
-        Cs = mem.C[:P] / jnp.maximum(mem.N[:P, None, None].astype(jnp.float32), 1.0)
+    def solve_poses(
+        self,
+        Twc,  # (P, 8) poses (P >= n_kf, pow2-padded)
+        Xs,  # (P, hw, 3)
+        Cs,  # (P, hw, 1) average confidences
+        n_kf: int,
+        cfg: backend_mod.BackendConfig,
+        use_calib: bool = False,
+        K=None,
+        img_size=None,
+        host_solve: bool = False,
+    ):
+        """Array-level global GN on explicit state snapshots; returns the
+        updated (P, 8) poses, or None when there is nothing to solve. Used
+        directly by the async backend, which must not touch the live
+        (donation-cycled) keyframe buffers."""
+        if self.n_edges == 0 or n_kf <= cfg.pin:
+            return None
+        P = Twc.shape[0]
+        E = _next_pow2(self.n_edges)
         if use_calib:
             from monst3r_slam_tpu.core import geometry
 
@@ -116,7 +141,7 @@ class FactorGraph:
                 Twc, Xs, Cs, ii, jj, idx, valid_match, Q, edge_valid, cfg,
                 n_poses=P, use_calib=use_calib, K=K, img_size=img_size,
             )
-        return kf_update_poses(mem, Twc_new, jnp.arange(P))
+        return Twc_new
 
     def _padded(self, arr, E):
         cur = arr.shape[0]

@@ -1,0 +1,220 @@
+"""End-to-end ATE regression harness (VERDICT item 10).
+
+Runs the FULL SLAM pipeline (matching, fusion, GN tracking, keyframing,
+factor-graph backend) on a synthetic scene with a KNOWN ground-truth Sim(3)
+trajectory — but with the neural model replaced by a geometry oracle that
+renders exact multi-view-consistent pointmaps and descriptors. This catches
+accuracy regressions in every non-model component before real datasets /
+checkpoints exist (the reference's equivalent gate is `evo_ape` on TUM,
+scripts/eval_tum.sh:46-63).
+
+Scene: a bumpy height-field surface z = f(x, y); per-frame pointmaps come
+from Newton ray-surface intersection along each pixel ray of the GT camera.
+Descriptors are random Fourier features of the WORLD surface point, so they
+are multi-view consistent and dense matching is well-posed.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from monst3r_slam_tpu.app.config import load_config
+from monst3r_slam_tpu.app.evaluate import ate_rmse
+from monst3r_slam_tpu.app.pipeline import SLAMSystem
+from monst3r_slam_tpu.core import lie
+from monst3r_slam_tpu.models import mast3r as model_api
+from monst3r_slam_tpu.models.config import TINY
+
+H, W = 64, 80
+FX = FY = 70.0
+DESC_F = 16
+
+
+def surface_z(x, y):
+    return 3.0 + 0.25 * np.sin(0.9 * x) + 0.25 * np.cos(0.7 * y) + 0.1 * np.sin(1.7 * (x + y))
+
+
+def pixel_rays():
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    r = np.stack([(u - W / 2) / FX, (v - H / 2) / FY, np.ones_like(u)], -1)
+    return r  # (H, W, 3), z=1 parameterization
+
+
+def render_frame(T_WC: np.ndarray):
+    """Exact pointmap (H*W, 3) in camera frame + world points (H*W, 3)."""
+    M = np.asarray(lie.sim3_matrix(jnp.asarray(T_WC)), np.float64)  # (4,4)
+    sR = M[:3, :3]
+    t = M[:3, 3]
+    r = pixel_rays().reshape(-1, 3)
+    m = r @ sR.T  # world direction (scaled)
+    tau = (3.0 - t[2]) / m[:, 2]  # init: flat-plane intersection
+    for _ in range(25):
+        xw = t[0] + tau * m[:, 0]
+        yw = t[1] + tau * m[:, 1]
+        zw = t[2] + tau * m[:, 2]
+        g = zw - surface_z(xw, yw)
+        dg = (
+            m[:, 2]
+            - 0.25 * 0.9 * np.cos(0.9 * xw) * m[:, 0]
+            + 0.25 * 0.7 * np.sin(0.7 * yw) * m[:, 1]
+            - 0.1 * 1.7 * np.cos(1.7 * (xw + yw)) * (m[:, 0] + m[:, 1])
+        )
+        tau = tau - g / dg
+    X_world = t[None] + tau[:, None] * m
+    X_cam = tau[:, None] * r  # camera-frame points (z = tau)
+    return X_cam.astype(np.float32), X_world.astype(np.float32)
+
+
+_rff = np.random.default_rng(42)
+_RFF_W = _rff.normal(size=(3, DESC_F)) * 1.5
+_RFF_B = _rff.uniform(0, 2 * np.pi, DESC_F)
+
+
+def world_desc(X_world):
+    d = np.sin(X_world @ _RFF_W + _RFF_B)
+    return (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+
+def gt_trajectory(n):
+    """Smooth Sim(3) path: lateral translation + gentle yaw."""
+    poses = []
+    for i in range(n):
+        rot = jnp.asarray([0.0, 0.018 * i, 0.0])  # yaw per frame
+        tau = jnp.concatenate(
+            [jnp.asarray([0.06 * i, 0.015 * i, 0.01 * np.sin(0.5 * i)]), rot,
+             jnp.zeros(1)]
+        )
+        poses.append(np.asarray(lie.sim3_exp(tau), np.float32))
+    return poses
+
+
+class OracleSLAM(SLAMSystem):
+    """SLAMSystem with the neural model replaced by the geometry oracle.
+
+    `encode` tags each frame's features with an id; `_decode_pair` renders
+    exact pointmaps for the tagged frames from the GT trajectory. Everything
+    downstream (matcher, tracker, fusion, factor graph, backend GN) is the
+    real production code.
+    """
+
+    def __post_init__(self):
+        super().__post_init__()
+        self._oracle_frames = {}  # id -> (X_cam, X_world, T_WC_gt)
+        self._next_id = 0
+
+    def register_frame(self, T_WC_gt):
+        fid = self._next_id
+        self._next_id += 1
+        X_cam, X_world = render_frame(T_WC_gt)
+        self._oracle_frames[fid] = (X_cam, X_world, np.asarray(T_WC_gt))
+        self._pending_id = fid
+        return fid
+
+    def encode(self, img_nhwc):
+        b = img_nhwc.shape[0]
+        n = self.hw // self.model_cfg.patch_size**2
+        feat = np.zeros((b, n, self.model_cfg.enc_dim), np.float32)
+        feat[:, 0, 0] = self._pending_id
+        pos = np.zeros((b, n, 2), np.int32)
+        return jnp.asarray(feat), jnp.asarray(pos)
+
+    def _decode_pair(self, feat_i, pos_i, feat_j, pos_j):
+        b = feat_i.shape[0]
+        X1s, X2s, D1s, D2s = [], [], [], []
+        for k in range(b):
+            fi = int(np.asarray(feat_i[k, 0, 0]))
+            fj = int(np.asarray(feat_j[k, 0, 0]))
+            Xi_cam, Xi_w, Ti = self._oracle_frames[fi]
+            Xj_cam, Xj_w, Tj = self._oracle_frames[fj]
+            # view-2 (j) points expressed in view-1 (i)'s frame
+            T_ij = lie.sim3_rel(jnp.asarray(Ti), jnp.asarray(Tj))
+            Xj_in_i = np.asarray(lie.sim3_act(T_ij, jnp.asarray(Xj_cam)))
+            X1s.append(Xi_cam)
+            X2s.append(Xj_in_i)
+            D1s.append(world_desc(Xi_w))
+            D2s.append(world_desc(Xj_w))
+        conf = jnp.full((b, H, W), 2.0)
+        return model_api.PairOutput(
+            X1=jnp.asarray(np.stack(X1s)).reshape(b, H, W, 3),
+            C1=conf,
+            D1=jnp.asarray(np.stack(D1s)).reshape(b, H, W, DESC_F),
+            Q1=conf,
+            X2=jnp.asarray(np.stack(X2s)).reshape(b, H, W, 3),
+            C2=conf,
+            D2=jnp.asarray(np.stack(D2s)).reshape(b, H, W, DESC_F),
+            Q2=conf,
+        )
+
+
+@pytest.mark.parametrize("single_thread", [True, False])
+def test_end_to_end_ate_on_synthetic_trajectory(single_thread):
+    n_frames = 10
+    cfg = load_config("config/base.yaml")
+    cfg["tracking"]["Q_conf"] = 0.5
+    cfg["tracking"]["C_conf"] = 0.5
+    cfg["local_opt"]["Q_conf"] = 0.5
+    # force keyframes often enough to exercise the backend
+    cfg["tracking"]["match_frac_thresh"] = 0.925
+    cfg["single_thread"] = single_thread
+
+    slam = OracleSLAM(
+        params={},
+        model_cfg=TINY,
+        cfg=cfg,
+        img_size=(H, W),
+        kf_capacity=16,
+    )
+    worker_threads = set()
+    if not single_thread:
+        import threading
+
+        orig_body = slam._backend_job_body
+
+        def tracking_body(*a):
+            worker_threads.add(threading.current_thread().name)
+            return orig_body(*a)
+
+        slam._backend_job_body = tracking_body
+
+    gt = gt_trajectory(n_frames)
+    img = np.zeros((H, W, 3), np.float32)
+    for i, T in enumerate(gt):
+        slam.register_frame(T)
+        slam.process_frame(i, float(i) / 30.0, img)
+    slam.finalize()
+
+    assert int(slam.mem.count) >= 2, "keyframing never triggered"
+    if not single_thread:
+        # backend work really ran off the main thread and produced solves
+        assert worker_threads == {"slam-backend"}, worker_threads
+        assert slam.graph.n_edges > 0
+    frame_ids, T_all = slam.full_trajectory()
+    est_xyz = np.stack([np.asarray(lie.sim3_to_se3(T))[:3] for T in T_all])
+    gt_xyz = np.stack([T[:3] for T in gt])
+    t = np.arange(n_frames, dtype=np.float64)
+    rmse, n = ate_rmse(t, est_xyz, t, gt_xyz)
+    assert n == n_frames
+    # exact geometry, sub-pixel matcher, full GN: trajectory must be tight.
+    # GT motion spans ~0.6 units; 0.01 = ~1.6% of trajectory extent.
+    assert rmse < 0.01, f"ATE regression ({single_thread=}): rmse={rmse:.4f}"
+
+
+def test_oracle_renders_consistent_geometry():
+    """Sanity of the harness itself: cross-view rendering is consistent —
+    frame j's points mapped into frame i equal direct ray intersection."""
+    gt = gt_trajectory(3)
+    Xi_cam, Xi_w = render_frame(gt[0])
+    Xj_cam, Xj_w = render_frame(gt[2])
+    # world points from both frames lie on the surface
+    for Xw in (Xi_w, Xj_w):
+        np.testing.assert_allclose(
+            Xw[:, 2], surface_z(Xw[:, 0], Xw[:, 1]), atol=1e-4
+        )
+    # camera->world->camera round trip
+    X_back = np.asarray(
+        lie.sim3_act(lie.sim3_inv(jnp.asarray(gt[2])), jnp.asarray(Xj_w))
+    )
+    np.testing.assert_allclose(X_back, Xj_cam, atol=1e-4)

@@ -131,3 +131,29 @@ def test_gauss_newton_points_converges():
     err1 = pose_errors(T_out, T_true)
     assert float(err1[0]) < 1e-6
     assert float(jnp.max(err1[1:])) < 1e-3
+
+
+def test_gauss_newton_sharded_matches_single_device():
+    """VERDICT item 8: edges sharded over the dp mesh axis; result must match
+    the single-device solver (same math, one psum per iteration)."""
+    from monst3r_slam_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    ndp = mesh.shape["dp"]
+    cfg = backend.BackendConfig(max_iters=10, chunk=512)
+    # P=5 gives E = 2*(P-1) = 8 edges -> divisible by dp sizes 1/2/4/8
+    T_true, T_init, Xs, Cs, ii, jj, idx, valid, Q, ev = build_graph(
+        jax.random.PRNGKey(4), P=5
+    )
+    assert ii.shape[0] % ndp == 0
+    T_single, _ = backend.gauss_newton(
+        T_init, Xs, Cs, ii, jj, idx, valid, Q, ev, cfg, n_poses=5
+    )
+    T_shard, iters = backend.gauss_newton_sharded(
+        mesh, T_init, Xs, Cs, ii, jj, idx, valid, Q, ev, cfg, n_poses=5
+    )
+    err = pose_errors(T_shard, T_true)
+    assert float(jnp.max(err[1:])) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(T_shard), np.asarray(T_single), atol=1e-4
+    )
