@@ -81,6 +81,7 @@ def main():
             out.X1.reshape(1, h, w, 3), out.X2.reshape(1, h, w, 3),
             out.D1, out.D2, idx_prev,
             cfg=match_cfg, tcfg=tcfg, use_init=True,
+            use_pallas=jax.default_backend() == "tpu",
         )
         T = track_step(out, idx_f2k, valid_k)
         return T, idx_f2k

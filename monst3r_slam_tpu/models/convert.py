@@ -237,7 +237,13 @@ def _to_jnp(tree):
 def cast_params_for_inference(params, dtype=jnp.bfloat16):
     """Cast matmul/conv weights to bf16 for inference (halves weight HBM
     traffic); layernorm/bias parameters stay f32 (they are applied in f32
-    inside the blocks anyway)."""
+    inside the blocks anyway).
+
+    The whole cast runs as ONE jitted program when the leaves are device
+    arrays: per-leaf `astype` on a remote-dispatch stack costs one tiny
+    compile+dispatch per leaf (~minutes for a ViT-L tree); one fused program
+    costs one.
+    """
     import jax
 
     def cast(path, leaf):
@@ -246,7 +252,13 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
             return leaf.astype(dtype)
         return leaf
 
-    return jax.tree_util.tree_map_with_path(cast, params)
+    def cast_tree(tree):
+        return jax.tree_util.tree_map_with_path(cast, tree)
+
+    leaves = jax.tree_util.tree_leaves(params)
+    if leaves and isinstance(leaves[0], jax.Array):
+        return jax.jit(cast_tree)(params)
+    return cast_tree(params)
 
 
 def load_checkpoint(path: str, cfg: Optional[ModelConfig] = None):

@@ -84,9 +84,12 @@ def decode_pair(params, cfg: ModelConfig, feat1, pos1, feat2, pos2, dtype=jnp.bf
     final1 = blocks.layernorm(params["dec_norm"], outs1[h3], cfg.ln_eps)
     final2 = blocks.layernorm(params["dec_norm"], outs2[h3], cfg.ln_eps)
 
-    def f32(t):
-        return t.astype(jnp.float32)
+    # Hook activations stay in the compute dtype; the heads cast their final
+    # regression maps to f32 before the numerically-sensitive postprocess
+    # (reg_dense_depth expm1 / descriptor L2-normalization).
+    def cd(t):
+        return t.astype(dtype)
 
-    dec1 = (f32(feat1), f32(outs1[h1]), f32(outs1[h2]), f32(final1))
-    dec2 = (f32(feat2), f32(outs2[h1]), f32(outs2[h2]), f32(final2))
+    dec1 = (cd(feat1), cd(outs1[h1]), cd(outs1[h2]), cd(final1))
+    dec2 = (cd(feat2), cd(outs2[h1]), cd(outs2[h2]), cd(final2))
     return dec1, dec2

@@ -75,7 +75,9 @@ def head_forward(
 ) -> HeadOutput:
     """One downstream head (`catmlp_dpt_head.py:75-96` forward).
 
-    dec_feats: the 4 hook activations (enc_out, mid1, mid2, dec_final), f32.
+    dec_feats: the 4 hook activations (enc_out, mid1, mid2, dec_final) in the
+    model's compute dtype (bf16 for inference, f32 for parity testing); all
+    matmul/conv-heavy work runs in that dtype, postprocess in f32.
     """
     h_img, w_img = n_h * cfg.patch_size, n_w * cfg.patch_size
     fmap = dpt_forward(params["dpt"], cfg, dec_feats, n_h, n_w)  # (B,H,W,4)
@@ -89,7 +91,7 @@ def head_forward(
 
     # catMLP local features on cat(enc, dec_final)
     cat = jnp.concatenate([dec_feats[0], dec_feats[3]], axis=-1)
-    local = blocks.mlp(params["local_feat"], cat)  # (B, N, (d+1)*P^2)
+    local = blocks.mlp(params["local_feat"], cat).astype(jnp.float32)
     b, n, _ = local.shape
     per_pix = cfg.desc_dim + (1 if cfg.two_confs else 0)
     # torch layout: (B, per_pix*P^2, n_h, n_w) then pixel_shuffle(P)

@@ -1,20 +1,30 @@
 """Pallas TPU kernel for the tiled matcher's hot loop.
 
 Grid = (tiles, query-subblocks). For each 16x16 source tile:
-  * rays (3ch) and descriptors (24ch) are packed into ONE 128-channel
-    lane-aligned image; the tile's CROPxCROPx128 patch is DMA'd HBM->VMEM
-    once (at subblock 0; the scratch persists across subblocks). Corners are
-    quantized to the 8-sublane grid for Mosaic slice alignment;
-  * each subblock scores `sub_q` query pixels against the patch with two
-    full-K (128) NT matmuls on the MXU (zero gathers in the kernel) — the
-    subblocking keeps every (sub_q, crop^2) f32 temporary ~1 MB so the whole
-    working set stays within the 16 MB VMEM budget;
-  * the descriptor refinement takes the EXACT argmax over the +-R window
-    around the ray match (the reference's coarse-to-fine dilation,
-    matching_kernels.cu:49-77, is a CUDA compute-saving heuristic; with the
-    full score map on-chip the exact window max is strictly better);
-  * subpixel peak values for the convergence test come from one-hot
-    reductions over rolled score maps.
+  * the target image is packed BF16 as [ray_hi(3) | desc(fd) | ray_mid(3) |
+    ray_lo(3) | zeros] into one 128-lane image, where ray = hi + mid + lo is
+    an exact three-term bf16 decomposition of the f32 unit ray (bit-level
+    mantissa truncation — see `_split3`). The tile's CROPxCROPx128 patch is
+    DMA'd HBM->VMEM once (at subblock 0; the scratch persists across
+    subblocks). Corners are quantized to the 16-sublane-pair grid for Mosaic
+    bf16 slice alignment;
+  * ray scores: with query packings qB = [q_hi|0|q_hi|q_hi],
+    qC = [q_mid|0|q_mid|0], qE = [q_lo|0|0|0],
+    qB.p + qC.p + qE.p = q.r minus only O(2^-33) cross terms — a full
+    f32-accurate dot from THREE single-pass bf16 MXU matmuls (measured dot
+    error ~1e-7, well under the per-pixel score gap ~3e-6 AND the 1e-6
+    convergence threshold), so both the argmax and the reference's
+    convergence test (2 - 2*subpixel_peak < thresh,
+    matching_kernels.cu:119-275) run entirely on-chip;
+  * descriptor refinement: EXACT argmax over the +-R window around the ray
+    match from one single-pass bf16 matmul — the reference itself refines
+    descriptors in fp16 (matching.py:80-81), and its coarse-to-fine dilation
+    (matching_kernels.cu:49-77) is a CUDA compute-saving heuristic; with the
+    full score map on-chip the exact window max is strictly better.
+
+4 MXU matmuls and one 1 MB DMA per (tile, subblock) grid step; score maps
+never touch HBM and the caller needs no follow-up gathers (XLA image
+gathers at this match count cost more than the whole kernel).
 
 Outputs per source pixel: matched (u, v) int32 and the converged flag.
 """
@@ -36,18 +46,42 @@ class PallasTileConfig(NamedTuple):
     tile: int = 16
     crop: int = 64
     window: int = 15  # refine search radius (= radius * dilation_max)
-    sub_q: int = 64  # queries per grid step (VMEM bound)
+    sub_q: int = 128  # queries per grid step (fills MXU rows; VMEM bound)
+
+
+def _trunc_bf16(x32):
+    """f32 -> (bf16-representable f32 head, f32 tail), via bit masking.
+
+    NOT `x - f32(bf16(x))`: under --xla_allow_excess_precision (set by
+    default on this stack) XLA elides the f32->bf16->f32 round-trip, folding
+    the tail to zero and silently degrading the split to single-pass bf16
+    (~1e-3 dot error — 3 orders worse). The masked bitcast cannot be elided.
+    """
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x32, jnp.uint32) & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    return hi, x32 - hi
+
+
+def _split3(x32):
+    """Exact three-term bf16 decomposition: x ~= hi + mid + lo (err ~2^-25)."""
+    hi, r1 = _trunc_bf16(x32)
+    mid, r2 = _trunc_bf16(r1)
+    return hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16), r2.astype(jnp.bfloat16)
 
 
 def _kernel(
-    corners_ref,  # scalar prefetch: (T, 2) int32 (x, y), 8-aligned
-    img_hbm,  # (h, w, PACK) ANY — packed rays+desc
-    q_rays_ref,  # (1, sub_q, PACK) VMEM block (desc channels zeroed)
-    q_desc_ref,  # (1, sub_q, PACK) VMEM block (ray channels zeroed)
+    corners_ref,  # scalar prefetch: (T, 2) int32 (x, y), 16-aligned
+    img_hbm,  # (h, w, PACK) bf16 ANY — packed [ray_hi | desc | ray_mid | ray_lo]
+    qB_ref,  # (1, sub_q, PACK) bf16 VMEM — [q_hi | 0 | q_hi | q_hi]
+    qC_ref,  # (1, sub_q, PACK) bf16 VMEM — [q_mid | 0 | q_mid | 0]
+    qE_ref,  # (1, sub_q, PACK) bf16 VMEM — [q_lo | 0 | 0 | 0]
+    qD_ref,  # (1, sub_q, PACK) bf16 VMEM — [0 | q_desc | 0 | 0]
     u_out,  # (1, 1, sub_q) int32
     v_out,  # (1, 1, sub_q) int32
     conv_out,  # (1, 1, sub_q) int32
-    crop_scr,  # VMEM scratch (crop, crop, PACK)
+    crop_scr,  # VMEM scratch (crop, crop, PACK) bf16 — DMA target
     sem,  # DMA semaphore
     *,
     crop: int,
@@ -56,8 +90,10 @@ def _kernel(
 ):
     t = pl.program_id(0)
     j = pl.program_id(1)
-    cx = corners_ref[t, 0]
-    cy = corners_ref[t, 1]
+    # multiple_of: Mosaic can't prove the runtime corner is tile-aligned on
+    # its own; the host quantizes corners to 16 (bf16 sublane-pair tiling).
+    cx = pl.multiple_of(corners_ref[t, 0], 16)
+    cy = pl.multiple_of(corners_ref[t, 1], 16)
 
     @pl.when(j == 0)
     def _fetch():
@@ -67,25 +103,26 @@ def _kernel(
         dma.start()
         dma.wait()
 
-    nq = q_rays_ref.shape[1]
+    nq = qB_ref.shape[1]
     m = crop * crop
+    patch = crop_scr[...].reshape(m, PACK)
+
+    def nt(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    s_ray = nt(qB_ref[0], patch) + nt(qC_ref[0], patch) + nt(qE_ref[0], patch)
+    best = jnp.argmax(s_ray, axis=-1)  # (nq,)
     col = jax.lax.broadcasted_iota(jnp.int32, (nq, m), 1)
-
-    patch = crop_scr[...].reshape(m, PACK)  # fold leading dims only
-
-    q_rays = q_rays_ref[0]  # (nq, PACK)
-    s_ray = jax.lax.dot_general(
-        q_rays, patch, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (nq, m)
-
-    best = jnp.argmax(s_ray, axis=-1)
     onehot = (col == best[:, None]).astype(jnp.float32)
 
     def at_best(scores):
         return jnp.sum(scores * onehot, axis=-1)
 
+    # 5-point stencil around the peak via rolled score maps (x neighbors are
+    # +-1 flat index, y neighbors +-crop; border peaks wrap to a far pixel,
+    # which only deflates the fitted peak -> conservative convergence).
     s0 = at_best(s_ray)
     sxm = at_best(pltpu.roll(s_ray, 1, 1))
     sxp = at_best(pltpu.roll(s_ray, m - 1, 1))
@@ -105,13 +142,7 @@ def _kernel(
     pu = best % crop
     pv = best // crop
 
-    q_desc = q_desc_ref[0]
-    s_desc = jax.lax.dot_general(
-        q_desc, patch, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
+    s_desc = nt(qD_ref[0], patch)
     du = col % crop - pu[:, None]
     dv = col // crop - pv[:, None]
     in_win = (jnp.abs(du) <= window) & (jnp.abs(dv) <= window)
@@ -123,11 +154,11 @@ def _kernel(
 
 @functools.partial(jax.jit, static_argnames=("tcfg", "conv_thresh", "interpret"))
 def tile_match_pallas(
-    rays_img: jax.Array,  # (h, w, 3) unit rays of the target image
-    desc_img: jax.Array,  # (h, w, fd), fd <= PACK-3
-    q_rays: jax.Array,  # (T, tsz, 3) query unit rays per tile
+    rays_img: jax.Array,  # (h, w, 3) unit rays of the target image, f32
+    desc_img: jax.Array,  # (h, w, fd), fd <= PACK-9
+    q_rays: jax.Array,  # (T, tsz, 3) query unit rays per tile, f32
     q_desc: jax.Array,  # (T, tsz, fd)
-    corners: jax.Array,  # (T, 2) int32 crop corners (x, y); quantized to 8
+    corners: jax.Array,  # (T, 2) int32 crop corners (x, y)
     tcfg: PallasTileConfig = PallasTileConfig(),
     conv_thresh: float = 1e-6,
     interpret: bool = False,
@@ -140,22 +171,33 @@ def tile_match_pallas(
     sub_q = min(tcfg.sub_q, tsz)
     n_sub = tsz // sub_q
     assert tsz % sub_q == 0
-    assert fd + 3 <= PACK
+    assert fd + 9 <= PACK
 
-    def pack(a, b):
-        pad = PACK - a.shape[-1] - b.shape[-1]
+    bf = jnp.bfloat16
+
+    def pack4(a, desc_part, b, c):
+        pad = PACK - 9 - fd
+        zeros = jnp.zeros(a.shape[:-1] + (pad,), bf)
         return jnp.concatenate(
-            [a, b, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
+            [a.astype(bf), desc_part.astype(bf), b.astype(bf), c.astype(bf), zeros],
+            axis=-1,
         )
 
-    img = pack(rays_img, desc_img)  # (h, w, PACK)
-    q_rays_p = pack(q_rays, jnp.zeros_like(q_desc)).reshape(T * n_sub, sub_q, PACK)
-    q_desc_p = pack(jnp.zeros_like(q_rays), q_desc).reshape(T * n_sub, sub_q, PACK)
+    r_hi, r_mid, r_lo = _split3(rays_img)
+    img = pack4(r_hi, desc_img, r_mid, r_lo)  # (h, w, PACK) bf16
+
+    q_hi, q_mid, q_lo = _split3(q_rays)
+    zq = jnp.zeros_like(q_desc)
+    zr = jnp.zeros_like(q_rays)
+    qB = pack4(q_hi, zq, q_hi, q_hi).reshape(T * n_sub, sub_q, PACK)
+    qC = pack4(q_mid, zq, q_mid, zr).reshape(T * n_sub, sub_q, PACK)
+    qE = pack4(q_lo, zq, zr, zr).reshape(T * n_sub, sub_q, PACK)
+    qD = pack4(zr, q_desc, zr, zr).reshape(T * n_sub, sub_q, PACK)
 
     corners = jnp.stack(
         [
-            jnp.clip(corners[:, 0] & ~7, 0, w - crop),
-            jnp.clip(corners[:, 1] & ~7, 0, h - crop),
+            jnp.clip(corners[:, 0], 0, w - crop) & ~15,
+            jnp.clip(corners[:, 1], 0, h - crop) & ~15,
         ],
         axis=-1,
     )
@@ -172,7 +214,9 @@ def tile_match_pallas(
         num_scalar_prefetch=1,
         grid=(T, n_sub),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, sub_q, PACK), qmap),
+            pl.BlockSpec((1, sub_q, PACK), qmap),
             pl.BlockSpec((1, sub_q, PACK), qmap),
             pl.BlockSpec((1, sub_q, PACK), qmap),
         ],
@@ -182,7 +226,7 @@ def tile_match_pallas(
             pl.BlockSpec((1, 1, sub_q), qmap),
         ],
         scratch_shapes=[
-            pltpu.VMEM((crop, crop, PACK), img.dtype),
+            pltpu.VMEM((crop, crop, PACK), bf),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -199,7 +243,7 @@ def tile_match_pallas(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(corners, img, q_rays_p, q_desc_p)
+    )(corners, img, qB, qC, qE, qD)
     return (
         u.reshape(T, tsz),
         v.reshape(T, tsz),

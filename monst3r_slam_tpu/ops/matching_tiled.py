@@ -200,10 +200,12 @@ def match_tiled(
         rc = ray_crops.reshape(tc, crop * crop, 3)
         dc = desc_crops.reshape(tc, crop * crop, -1)
 
-        # 1. ray association (argmax over the crop)
+        # 1. ray association (argmax over the crop). HIGHEST: the 2-2*dot
+        # convergence test needs ~1e-7 dot accuracy and this backend silently
+        # degrades HIGH f32 matmuls to bf16.
         s_ray = jnp.einsum(
             "tpf,tmf->tpm", q_rays_c, rc, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )
         best = jnp.argmax(s_ray, axis=-1)  # (tc, tsz)
         peak = _subpixel_peak(s_ray, best, crop)
@@ -237,7 +239,9 @@ def match_tiled(
 
     if use_pallas:
         # On-chip kernel: packed 128-ch crops DMA'd to VMEM, NT matmuls on
-        # the MXU, exact window-argmax refinement (ops/matching_pallas.py).
+        # the MXU, exact window-argmax refinement, and the convergence test
+        # from a three-term bf16-split score map (~1e-7 dot accuracy) — no
+        # follow-up host-side gathers (ops/matching_pallas.py).
         from monst3r_slam_tpu.ops.matching_pallas import (
             PallasTileConfig,
             tile_match_pallas,
@@ -247,7 +251,7 @@ def match_tiled(
             rays_img, D11[0], q_rays, q_desc, corners,
             tcfg=PallasTileConfig(
                 tile=tile, crop=crop, window=cfg.radius * cfg.dilation_max,
-                sub_q=min(64, tsz),
+                sub_q=min(128, tsz),
             ),
             conv_thresh=cfg.convergence_thresh,
             interpret=jax.default_backend() != "tpu",
