@@ -55,35 +55,38 @@ def main():
     kf_C = jnp.full((hw, 1), 2.0)
     T_WCk = lie.sim3_identity()
 
-    # Separately-jitted stages (the monolithic fused program overloads
-    # remote compilers; the per-dispatch overhead the split adds is part of
-    # the honest end-to-end cost anyway). encode/decode are the same staged
-    # programs the SLAM pipeline itself dispatches.
+    # Three dispatches per frame: encode | decode | match+track fused.
+    # (decode+match+track in ONE program times out the remote compiler; the
+    # per-dispatch overhead of this split is part of the honest cost.)
+    # encode/decode are the same staged programs the SLAM pipeline itself
+    # dispatches; match+track mirrors pipeline._match_track_and_update.
     @jax.jit
     def perturb(T_prev):
         return img + 1e-6 * T_prev[0]
 
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
-    def track_step(out, idx_f2k, valid_k):
-        return tracker_mod.track_pose(
+    def match_track(out, idx_prev, T_prev):
+        idx_f2k, valid_k = matching_tiled.match_tiled(
+            out.X1.reshape(1, h, w, 3), out.X2.reshape(1, h, w, 3),
+            out.D1, out.D2, idx_prev,
+            cfg=match_cfg, tcfg=tcfg, use_init=True, use_pallas=use_pallas,
+        )
+        T = tracker_mod.track_pose(
             track_cfg, (h, w), False,
             idx_f2k[0], valid_k[0],
             out.Q1.reshape(hw, 1), out.Q2.reshape(hw, 1),
             out.X1.reshape(hw, 3), out.C1.reshape(hw, 1),
-            kf_X, kf_C, T_WCk, T_WCk,
+            kf_X, kf_C, T_prev, T_WCk,
         ).T_WCf
+        return T, idx_f2k
 
     def frame_step(T_prev, idx_prev, kf_feat, kf_pos):
         img_t = perturb(T_prev)
         feat, pos = model_api.encode(params, cfg, img_t)
         out = model_api.decode(params, cfg, feat, pos, kf_feat, kf_pos, (h, w))
-        idx_f2k, valid_k = matching_tiled.match_tiled(
-            out.X1.reshape(1, h, w, 3), out.X2.reshape(1, h, w, 3),
-            out.D1, out.D2, idx_prev,
-            cfg=match_cfg, tcfg=tcfg, use_init=True,
-            use_pallas=jax.default_backend() == "tpu",
-        )
-        T = track_step(out, idx_f2k, valid_k)
+        T, idx_f2k = match_track(out, idx_prev, T_prev)
         return T, idx_f2k
 
     kf_feat, kf_pos = model_api.encode(params, cfg, img)

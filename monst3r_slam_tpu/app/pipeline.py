@@ -99,15 +99,20 @@ def matching_config_from_dict(cfg: dict) -> matching.MatchingConfig:
     )
 
 
-def make_matcher(cfg: dict):
-    """Matcher dispatch: 'tiled' (MXU-native XLA, default), 'pallas' (same
-    tiling with the on-chip Pallas kernel for the hot loop), or 'lm' (the
+def matcher_mode(cfg: dict) -> str:
+    """Matcher mode: 'tiled' (MXU-native XLA), 'pallas' (same tiling with the
+    on-chip Pallas kernel for the hot loop; TPU default), or 'lm' (the
     reference-semantics iterative-projection path)."""
-    mcfg = matching_config_from_dict(cfg)
-    # Default: the on-chip Pallas kernel on TPU (score maps never touch HBM;
-    # ~2.4x the XLA tiled path on v5e), XLA tiling elsewhere.
     default_mode = "pallas" if jax.default_backend() == "tpu" else "tiled"
-    mode = cfg.get("matching", {}).get("mode", default_mode)
+    return cfg.get("matching", {}).get("mode", default_mode)
+
+
+def make_matcher(cfg: dict):
+    """Standalone matcher dispatch (graph edges, relocalization; the tracking
+    hot path uses `_match_track_and_update` to fuse matching into the
+    tracking program instead)."""
+    mcfg = matching_config_from_dict(cfg)
+    mode = matcher_mode(cfg)
     if mode == "lm":
         def match_fn(X11, X21, D11, D21, idx_init=None):
             return matching.match(X11, X21, D11, D21, idx_init, cfg=mcfg)
@@ -124,6 +129,41 @@ def make_matcher(cfg: dict):
             )
 
     return match_fn
+
+
+def _track_update_body(
+    mem_X, mem_C, mem_N, mem_S, kf_idx,
+    idx_f2k, valid_match_k,
+    X1, C1, Q1, X2, C2, Q2,
+    frame_X, frame_C, frame_N, frame_S,
+    T_WCf, T_WCk, K,
+    track_cfg, img_size, use_calib, fmode, fscore,
+):
+    # Fuse frame pointmap (tracker.py:44)
+    fX, fC, fN, fS = fuse_pointmap(
+        frame_X, frame_C, frame_N, X1, C1, fmode, frame_S, fscore
+    )
+
+    res = tracker_mod.track_pose(
+        track_cfg, img_size, use_calib,
+        idx_f2k, valid_match_k, Q1, Q2,
+        fX, fC / jnp.maximum(fN.astype(jnp.float32), 1.0),
+        mem_X[kf_idx], mem_C[kf_idx] / jnp.maximum(mem_N[kf_idx].astype(jnp.float32), 1.0),
+        T_WCf, T_WCk, K,
+    )
+
+    # Update keyframe pointmap with the frame observation (tracker.py:96-100)
+    Xkk = lie.sim3_act(res.T_CkCf, X2)
+    kX, kC, kN, kS = fuse_pointmap(
+        mem_X[kf_idx], mem_C[kf_idx], mem_N[kf_idx], Xkk, C2, fmode,
+        mem_S[kf_idx], fscore,
+    )
+    ok = ~(res.low_match | res.solver_failed)
+    mem_X = mem_X.at[kf_idx].set(jnp.where(ok, kX, mem_X[kf_idx]))
+    mem_C = mem_C.at[kf_idx].set(jnp.where(ok, kC, mem_C[kf_idx]))
+    mem_N = mem_N.at[kf_idx].set(jnp.where(ok, kN, mem_N[kf_idx]))
+    mem_S = mem_S.at[kf_idx].set(jnp.where(ok, kS, mem_S[kf_idx]))
+    return mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res
 
 
 @partial(jax.jit, static_argnames=("track_cfg", "img_size", "use_calib", "fmode", "fscore"),
@@ -153,31 +193,62 @@ def _track_and_update(
     Keyframe memory arrays are donated so the update happens in place
     (an eager `.at[].set` would copy the full multi-GB buffers every frame).
     """
-    # Fuse frame pointmap (tracker.py:44)
-    fX, fC, fN, fS = fuse_pointmap(
-        frame_X, frame_C, frame_N, X1, C1, fmode, frame_S, fscore
+    return _track_update_body(
+        mem_X, mem_C, mem_N, mem_S, kf_idx, idx_f2k, valid_match_k,
+        X1, C1, Q1, X2, C2, Q2, frame_X, frame_C, frame_N, frame_S,
+        T_WCf, T_WCk, K, track_cfg, img_size, use_calib, fmode, fscore,
     )
 
-    res = tracker_mod.track_pose(
-        track_cfg, img_size, use_calib,
-        idx_f2k, valid_match_k, Q1, Q2,
-        fX, fC / jnp.maximum(fN.astype(jnp.float32), 1.0),
-        mem_X[kf_idx], mem_C[kf_idx] / jnp.maximum(mem_N[kf_idx].astype(jnp.float32), 1.0),
-        T_WCf, T_WCk, K,
-    )
 
-    # Update keyframe pointmap with the frame observation (tracker.py:96-100)
-    Xkk = lie.sim3_act(res.T_CkCf, X2)
-    kX, kC, kN, kS = fuse_pointmap(
-        mem_X[kf_idx], mem_C[kf_idx], mem_N[kf_idx], Xkk, C2, fmode,
-        mem_S[kf_idx], fscore,
+@partial(
+    jax.jit,
+    static_argnames=(
+        "track_cfg", "img_size", "use_calib", "fmode", "fscore",
+        "mcfg", "tcfg", "use_pallas", "use_init",
+    ),
+    donate_argnums=(0, 1, 2, 3),
+)
+def _match_track_and_update(
+    mem_X, mem_C, mem_N, mem_S,  # donated keyframe memory
+    kf_idx,
+    X1, C1, Q1, D1,  # frame-side decode outputs, flattened (hw, .)
+    X2, C2, Q2, D2,  # keyframe-side decode outputs
+    idx_init,  # (hw,) warm start (ignored when use_init=False)
+    frame_X, frame_C, frame_N, frame_S,
+    T_WCf, T_WCk,
+    K,
+    track_cfg: tracker_mod.TrackingConfig,
+    img_size,
+    use_calib: bool,
+    fmode: str,
+    fscore: str,
+    mcfg: matching.MatchingConfig,
+    tcfg,
+    use_pallas: bool,
+    use_init: bool,
+):
+    """Matching + fusion + GN tracking + keyframe update in ONE program.
+
+    Folding the tiled/Pallas matcher into the tracking program removes a
+    dispatch and the HBM round-trip of the match outputs (measured ~13 ms +
+    one relay dispatch per frame on v5e; decode cannot join the fusion — the
+    remote compiler times out on the combined program).
+    """
+    from monst3r_slam_tpu.ops import matching_tiled
+
+    h, w = img_size
+    idx_f2k, valid_match_k = matching_tiled.match_tiled(
+        X1.reshape(1, h, w, 3), X2.reshape(1, h, w, 3),
+        D1.reshape(1, h, w, -1), D2.reshape(1, h, w, -1),
+        idx_init[None],
+        cfg=mcfg, tcfg=tcfg, use_init=use_init, use_pallas=use_pallas,
     )
-    ok = ~(res.low_match | res.solver_failed)
-    mem_X = mem_X.at[kf_idx].set(jnp.where(ok, kX, mem_X[kf_idx]))
-    mem_C = mem_C.at[kf_idx].set(jnp.where(ok, kC, mem_C[kf_idx]))
-    mem_N = mem_N.at[kf_idx].set(jnp.where(ok, kN, mem_N[kf_idx]))
-    mem_S = mem_S.at[kf_idx].set(jnp.where(ok, kS, mem_S[kf_idx]))
-    return mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res
+    outs = _track_update_body(
+        mem_X, mem_C, mem_N, mem_S, kf_idx, idx_f2k[0], valid_match_k[0],
+        X1, C1, Q1, X2, C2, Q2, frame_X, frame_C, frame_N, frame_S,
+        T_WCf, T_WCk, K, track_cfg, img_size, use_calib, fmode, fscore,
+    )
+    return outs + (idx_f2k, valid_match_k)
 
 
 @dataclasses.dataclass
@@ -207,6 +278,13 @@ class SLAMSystem:
         self.backend_cfg = backend_config_from_dict(self.cfg)
         self.match_cfg = matching_config_from_dict(self.cfg)
         self.match_fn = make_matcher(self.cfg)
+        self.match_mode = matcher_mode(self.cfg)
+        if self.match_mode != "lm":
+            from monst3r_slam_tpu.ops import matching_tiled
+
+            self.match_tcfg = matching_tiled.TiledConfig()
+        else:
+            self.match_tcfg = None
         self.mem = make_keyframe_memory(
             self.kf_capacity, h, w, self.model_cfg.enc_dim, self.model_cfg.patch_size
         )
@@ -673,34 +751,64 @@ class SLAMSystem:
                         Q2=Q2m.reshape(out.Q2.shape),
                     )
 
-        Xff = out.X1.reshape(1, *self.img_size, 3)
-        Xkf = out.X2.reshape(1, *self.img_size, 3)
-        Dff = out.D1
-        Dkf = out.D2
-        idx_f2k, valid_match_k = self.match_fn(
-            Xff, Xkf, Dff, Dkf, self.idx_f2k
-        )
-        self.idx_f2k = idx_f2k
+        if self.match_mode != "lm":
+            # Matching fused into the tracking program: one dispatch for
+            # match -> fusion -> GN -> keyframe update.
+            use_init = self.idx_f2k is not None
+            idx_init = (
+                self.idx_f2k[0] if use_init
+                else jnp.zeros((self.hw,), jnp.int32)
+            )
+            (mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res,
+             idx_f2k, valid_match_k) = _match_track_and_update(
+                self.mem.X_canon, self.mem.C, self.mem.N, self.mem.score,
+                jnp.asarray(kf_idx, jnp.int32),
+                out.X1.reshape(self.hw, 3), out.C1.reshape(self.hw, 1),
+                out.Q1.reshape(self.hw, 1), out.D1.reshape(self.hw, -1),
+                out.X2.reshape(self.hw, 3), out.C2.reshape(self.hw, 1),
+                out.Q2.reshape(self.hw, 1), out.D2.reshape(self.hw, -1),
+                idx_init,
+                frame.X_canon, frame.C, frame.N, frame.score,
+                frame.T_WC, kf.T_WC,
+                self.K if self.K is not None else jnp.eye(3),
+                track_cfg=self.track_cfg,
+                img_size=self.img_size,
+                use_calib=self.use_calib,
+                fmode=self.filtering_mode,
+                fscore=self.track_cfg.filtering_score,
+                mcfg=self.match_cfg,
+                tcfg=self.match_tcfg,
+                use_pallas=self.match_mode == "pallas",
+                use_init=use_init,
+            )
+            self.idx_f2k = idx_f2k
+        else:
+            Xff = out.X1.reshape(1, *self.img_size, 3)
+            Xkf = out.X2.reshape(1, *self.img_size, 3)
+            idx_f2k, valid_match_k = self.match_fn(
+                Xff, Xkf, out.D1, out.D2, self.idx_f2k
+            )
+            self.idx_f2k = idx_f2k
 
-        # Fused device program: frame fusion -> GN tracking -> keyframe update
-        # (keyframe buffers donated, updated in place)
-        mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res = _track_and_update(
-            self.mem.X_canon, self.mem.C, self.mem.N, self.mem.score,
-            jnp.asarray(kf_idx, jnp.int32),
-            idx_f2k[0], valid_match_k[0],
-            out.X1.reshape(self.hw, 3), out.C1.reshape(self.hw, 1),
-            out.Q1.reshape(self.hw, 1),
-            out.X2.reshape(self.hw, 3), out.C2.reshape(self.hw, 1),
-            out.Q2.reshape(self.hw, 1),
-            frame.X_canon, frame.C, frame.N, frame.score,
-            frame.T_WC, kf.T_WC,
-            self.K if self.K is not None else jnp.eye(3),
-            track_cfg=self.track_cfg,
-            img_size=self.img_size,
-            use_calib=self.use_calib,
-            fmode=self.filtering_mode,
-            fscore=self.track_cfg.filtering_score,
-        )
+            # Fused device program: frame fusion -> GN tracking -> keyframe
+            # update (keyframe buffers donated, updated in place)
+            mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res = _track_and_update(
+                self.mem.X_canon, self.mem.C, self.mem.N, self.mem.score,
+                jnp.asarray(kf_idx, jnp.int32),
+                idx_f2k[0], valid_match_k[0],
+                out.X1.reshape(self.hw, 3), out.C1.reshape(self.hw, 1),
+                out.Q1.reshape(self.hw, 1),
+                out.X2.reshape(self.hw, 3), out.C2.reshape(self.hw, 1),
+                out.Q2.reshape(self.hw, 1),
+                frame.X_canon, frame.C, frame.N, frame.score,
+                frame.T_WC, kf.T_WC,
+                self.K if self.K is not None else jnp.eye(3),
+                track_cfg=self.track_cfg,
+                img_size=self.img_size,
+                use_calib=self.use_calib,
+                fmode=self.filtering_mode,
+                fscore=self.track_cfg.filtering_score,
+            )
         self.mem = dataclasses.replace(
             self.mem, X_canon=mem_X, C=mem_C, N=mem_N, score=mem_S
         )
