@@ -92,9 +92,10 @@ def main():
         retr_params = retrieval_mod.init_retrieval_params(
             jax.random.PRNGKey(1), model_cfg.enc_dim
         )
-        retr_db = retrieval_mod.ASMKDatabase(
-            retrieval_mod.make_random_codebook(jax.random.PRNGKey(2), 4096, 1024)
-        )
+        # No pretrained codebook: bootstrap one by k-means over the first
+        # keyframes' own features (far better cell occupancy than a random
+        # Gaussian codebook; see ASMKDatabase docstring).
+        retr_db = retrieval_mod.ASMKDatabase(None, n_words=1024)
 
     slam = SLAMSystem(
         params=params,
@@ -105,6 +106,16 @@ def main():
         retrieval_params=retr_params,
         retrieval_db=retr_db,
     )
+
+    if not args.no_viz:
+        from monst3r_slam_tpu.viz.live import LiveViewer
+
+        viewer = LiveViewer()
+        port = viewer.start()
+        if port is not None:
+            slam.viewer = viewer
+            print(f"live viewer: http://127.0.0.1:{port}/ (disable with --no-viz)")
+
 
     n = len(dataset)
     if args.max_frames:

@@ -111,9 +111,9 @@ def main():
     retr_params = retrieval_mod.init_retrieval_params(
         jax.random.PRNGKey(1), easi_cfg.enc_dim
     )
-    retr_db = retrieval_mod.ASMKDatabase(
-        retrieval_mod.make_random_codebook(jax.random.PRNGKey(2), 4096, 1024)
-    )
+    # No pretrained codebook by default: bootstrap one by k-means over the
+    # first keyframes' own features (see ASMKDatabase docstring).
+    retr_db = retrieval_mod.ASMKDatabase(None, n_words=1024)
     rp = pathlib.Path(args.retrieval_checkpoint) if args.retrieval_checkpoint else None
     if rp and rp.is_file():
         retr_params, _ = retrieval_mod.retrieval_params_from_checkpoint(str(rp))
@@ -131,6 +131,16 @@ def main():
         retrieval_db=retr_db,
         easi3r=ep,
     )
+
+    if not args.no_viz:
+        from monst3r_slam_tpu.viz.live import LiveViewer
+
+        viewer = LiveViewer()
+        port = viewer.start()
+        if port is not None:
+            slam.viewer = viewer
+            print(f"live viewer: http://127.0.0.1:{port}/ (disable with --no-viz)")
+
 
     n = len(dataset)
     if args.max_frames:

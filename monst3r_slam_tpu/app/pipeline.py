@@ -269,6 +269,8 @@ class SLAMSystem:
     # Easi3R pipeline (main_easier_slam / reference tracker3.py:15): two-pass
     # attention-reweighted DUSt3R inference for X/C + masks, MASt3R for D/Q.
     easi3r: Optional[object] = None
+    # Live viewer (viz/live.py LiveViewer); None = headless.
+    viewer: Optional[object] = None
 
     def __post_init__(self):
         h, w = self.img_size
@@ -312,6 +314,7 @@ class SLAMSystem:
         # threads interleave on the chip's queue.
         self.single_thread = bool(self.cfg.get("single_thread", True))
         self.backend_stall_s = 0.0  # main-thread time blocked on backend work
+        self._last_viz_push = 0.0
         self._retr_lock = threading.Lock()
         self._graph_lock = threading.Lock()
         self._backend_jobs: queue.Queue = queue.Queue()
@@ -843,6 +846,46 @@ class SLAMSystem:
     def _record_pose(self, frame_id: int, T_WC: jax.Array):
         self.frame_ids.append(frame_id)
         self.frame_poses.append(np.asarray(T_WC))
+        self._maybe_push_viewer()
+
+    # ------------------------------------------------------------------
+    # Live viewer (substitute for the reference's moderngl window, N11)
+    # ------------------------------------------------------------------
+
+    def _maybe_push_viewer(self, min_interval_s: float = 1.0):
+        if self.viewer is None:
+            return
+        now = time.time()
+        if now - self._last_viz_push < min_interval_s:
+            return
+        n = int(self.mem.count)
+        if n == 0:
+            return
+        self._last_viz_push = now
+        # Downsampled world-frame cloud from the keyframe memory: stride the
+        # pixels so the snapshot stays ~200k points regardless of n_kf.
+        stride = max(1, (n * self.hw) // 200_000)
+        X = np.asarray(self.mem.X_canon[:n])[:, ::stride]  # (n, m, 3)
+        C = np.asarray(self.mem.C[:n])[:, ::stride, 0]
+        N_ = np.maximum(np.asarray(self.mem.N[:n])[:, None], 1.0)
+        T = np.asarray(self.mem.T_WC[:n])
+        cols = self.keyframe_colors()[:, ::stride]
+        pts, rgb = [], []
+        for i in range(n):
+            keep = (C[i] / N_[i]) > 1.5
+            Xw = np.asarray(lie.sim3_act(T[i], X[i]))
+            pts.append(Xw[keep])
+            rgb.append(cols[i][keep])
+        if not pts:
+            return
+        traj = (
+            np.stack(self.frame_poses)[:, :3]
+            if self.frame_poses
+            else np.zeros((0, 3), np.float32)
+        )
+        self.viewer.update(
+            np.concatenate(pts), np.concatenate(rgb), traj=traj, kf_centers=T[:, :3]
+        )
 
     # ------------------------------------------------------------------
     # Export

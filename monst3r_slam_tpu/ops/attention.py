@@ -75,9 +75,12 @@ def attention_fits_fused(nq: int, nk: int, d: int, dtype_bytes: int = 2) -> bool
 def sdpa(q, k, v, use_pallas: bool | None = None, interpret: bool = False):
     """Dispatch: Pallas fused kernel or XLA einsum attention.
 
-    The Pallas kernel is opt-in (MONST3R_PALLAS_ATTN=1): at MASt3R's token
-    counts XLA's fused attention is already near-roofline, and vanilla XLA
-    compiles are much faster on remote-compile stacks.
+    The Pallas kernel is opt-in (MONST3R_PALLAS_ATTN=1). Measured on v5e at
+    MASt3R shapes (768 tokens, 16 heads): encode 19.9 ms (einsum) vs 22.1 ms
+    (pallas), decode 23.2 vs 29.3 — XLA already fuses the logits/softmax/V
+    chain here, and its multi-head schedule beats this kernel's one-head-per-
+    grid-step layout. Kept for larger-token configs where the einsum path
+    spills.
     """
     if use_pallas is None:
         import os

@@ -114,29 +114,35 @@ def _kernel(
 
     s_ray = nt(qB_ref[0], patch) + nt(qC_ref[0], patch) + nt(qE_ref[0], patch)
     best = jnp.argmax(s_ray, axis=-1)  # (nq,)
+    s0 = jnp.max(s_ray, axis=-1)
     col = jax.lax.broadcasted_iota(jnp.int32, (nq, m), 1)
-    onehot = (col == best[:, None]).astype(jnp.float32)
 
-    def at_best(scores):
-        return jnp.sum(scores * onehot, axis=-1)
+    # 5-point stencil around the peak (x neighbors +-1 flat index, y
+    # neighbors +-crop; border peaks pick up a wrapped far pixel, which only
+    # deflates the fitted peak -> conservative convergence). The parabola
+    # gain needs only (sp - sm) and (sp + sm) per axis, so each axis costs
+    # ONE masked reduction with a +-1 signed mask and one with a 0/1 mask —
+    # no rolled copies of the 2 MB score map.
+    def pair_sums(d):
+        at_p = col == (best[:, None] + d)
+        at_m = col == (best[:, None] - d)
+        sgn = jnp.where(at_p, 1.0, 0.0) - jnp.where(at_m, 1.0, 0.0)
+        mag = jnp.where(at_p | at_m, s_ray, 0.0)
+        diff = jnp.sum(s_ray * sgn, axis=-1)  # sp - sm
+        tot = jnp.sum(mag, axis=-1)  # sp + sm
+        return diff, tot
 
-    # 5-point stencil around the peak via rolled score maps (x neighbors are
-    # +-1 flat index, y neighbors +-crop; border peaks wrap to a far pixel,
-    # which only deflates the fitted peak -> conservative convergence).
-    s0 = at_best(s_ray)
-    sxm = at_best(pltpu.roll(s_ray, 1, 1))
-    sxp = at_best(pltpu.roll(s_ray, m - 1, 1))
-    sym = at_best(pltpu.roll(s_ray, crop, 1))
-    syp = at_best(pltpu.roll(s_ray, m - crop, 1))
+    dx, tx = pair_sums(1)
+    dy, ty = pair_sums(crop)
 
-    def gain(sm, sp):
-        denom = 2.0 * s0 - sm - sp
+    def gain(diff, tot):
+        denom = 2.0 * s0 - tot
         g = jnp.where(
-            denom > 1e-12, (sp - sm) ** 2 / (8.0 * jnp.maximum(denom, 1e-12)), 0.0
+            denom > 1e-12, diff * diff / (8.0 * jnp.maximum(denom, 1e-12)), 0.0
         )
         return jnp.maximum(g, 0.0)
 
-    peak = s0 + gain(sxm, sxp) + gain(sym, syp)
+    peak = s0 + gain(dx, tx) + gain(dy, ty)
     conv_out[0, 0] = ((2.0 - 2.0 * peak) < conv_thresh).astype(jnp.int32)
 
     pu = best % crop

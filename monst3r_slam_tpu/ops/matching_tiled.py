@@ -164,10 +164,16 @@ def match_tiled(
     queries = _normalize(X21[0].reshape(hw, 3))
 
     # --- initial positions: warm start or global coarse search. The coarse
-    # search always runs (one stride-8 batched matmul — MXU noise) so stale
-    # warm starts can be detected and re-seeded per tile.
-    p_coarse = _coarse_search(rays_img, queries, tcfg.coarse_stride)
-    med_coarse = jnp.median(_tile_queries(p_coarse, h, w, tile), axis=1)  # (T, 2)
+    # search always runs so stale warm starts can be detected and re-seeded
+    # per tile; since only the per-tile MEDIAN is consumed, it scores a 1/4
+    # subsample of each tile's queries (the full-density version materializes
+    # a ~2.4 GB score map — ~6 ms of pure HBM traffic for medians that a
+    # 64-sample subset reproduces).
+    q_tiles = _tile_queries(queries, h, w, tile)  # (T, tsz, 3)
+    sub = 4
+    q_sub = q_tiles[:, ::sub].reshape(-1, 3)
+    p_sub = _coarse_search(rays_img, q_sub, tcfg.coarse_stride)
+    med_coarse = jnp.median(p_sub.reshape(n_tiles, -1, 2), axis=1)  # (T, 2)
     if use_init and idx_1_to_2_init is not None:
         p_init = lin_to_pixel(idx_1_to_2_init[0], w).astype(jnp.float32)
         med_warm = jnp.median(_tile_queries(p_init, h, w, tile), axis=1)
@@ -183,7 +189,7 @@ def match_tiled(
     cy = jnp.clip(jnp.round(med[:, 1]).astype(jnp.int32) - crop // 2, 0, h - crop)
     corners = jnp.stack([cx, cy], axis=-1)  # (T, 2) (x, y)
 
-    q_rays = _tile_queries(queries, h, w, tile)  # (T, tsz, 3)
+    q_rays = q_tiles  # (T, tsz, 3)
     q_desc = _tile_queries(D21[0].reshape(hw, -1), h, w, tile)  # (T, tsz, fd)
 
     # offsets within crop

@@ -175,24 +175,43 @@ class ASMKDatabase:
 
     def __init__(
         self,
-        centroids: np.ndarray,  # (n_words, d)
+        centroids: Optional[np.ndarray],  # (n_words, d); None = bootstrap
         alpha: float = 3.0,
         similarity_threshold: float = 0.0,
         ma_build: int = 1,
         ma_query: int = 5,
+        n_words: int = 1024,
+        dim: int = 64,
+        bootstrap_frames: int = 5,
     ):
-        self.centroids = np.asarray(centroids, np.float32)
-        self.cent_sq = (self.centroids**2).sum(1)
-        self.n_words, self.dim = self.centroids.shape
+        """With `centroids=None` the codebook is BOOTSTRAPPED: features of
+        the first `bootstrap_frames` keyframes are buffered, k-means fits the
+        codebook on them, and the buffered frames are then indexed. A random
+        Gaussian codebook (the previous no-checkpoint fallback) leaves most
+        cells empty for in-domain features — quantization collapses and
+        retrieval scores are noise; fitting on the sequence's own features
+        restores discrimination without any pretrained pickle."""
         self.alpha = alpha
         self.similarity_threshold = similarity_threshold
         self.ma_build = ma_build
         self.ma_query = ma_query
+        self.bootstrap_frames = bootstrap_frames
+        self._pending: List[np.ndarray] = []
+        if centroids is not None:
+            self._set_centroids(np.asarray(centroids, np.float32))
+        else:
+            self.centroids = None
+            self.n_words, self.dim = n_words, dim
+        self.norm_factor = np.zeros(0)
+        self.kf_counter = 0
+
+    def _set_centroids(self, centroids: np.ndarray):
+        self.centroids = np.asarray(centroids, np.float32)
+        self.cent_sq = (self.centroids**2).sum(1)
+        self.n_words, self.dim = self.centroids.shape
         self.ivf_vecs: List[Optional[np.ndarray]] = [None] * self.n_words
         self.ivf_imids: List[Optional[np.ndarray]] = [None] * self.n_words
         self.counts = np.zeros(self.n_words, np.int64)
-        self.norm_factor = np.zeros(0)
-        self.kf_counter = 0
 
     def quantize(self, vecs: np.ndarray, k: int) -> np.ndarray:
         """Top-k nearest centroids by L2 (retrieval_database.py:96-105)."""
@@ -255,6 +274,19 @@ class ASMKDatabase:
 
     def update(self, feat: np.ndarray, add_after_query: bool, k: int, min_thresh: float = 0.0):
         """Query top-k matches then optionally insert (retrieval_database.py:43)."""
+        if self.centroids is None:
+            # Bootstrap phase: buffer, no retrieval yet (the SLAM loop only
+            # needs retrieval once enough keyframes exist to close loops).
+            feat = np.asarray(feat, np.float32).reshape(feat.shape[0], -1)
+            if add_after_query:
+                self._pending.append(feat)
+                if len(self._pending) >= self.bootstrap_frames:
+                    pool = np.concatenate(self._pending)
+                    self._set_centroids(kmeans_codebook(pool, self.n_words))
+                    pending, self._pending = self._pending, []
+                    for f in pending:
+                        self.add(f)
+            return []
         feat = np.asarray(feat, np.float32).reshape(-1, self.centroids.shape[1])
         topk: List[int] = []
         if self.kf_counter > 0:
@@ -269,6 +301,39 @@ class ASMKDatabase:
 def make_random_codebook(key, n_words: int, dim: int) -> np.ndarray:
     """Untrained fallback codebook (no pretrained pickle in this image)."""
     return np.asarray(jax.random.normal(key, (n_words, dim)))
+
+
+def kmeans_codebook(
+    feats: np.ndarray, n_words: int, iters: int = 15, seed: int = 0
+) -> np.ndarray:
+    """Plain-numpy Lloyd k-means for codebook bootstrapping.
+
+    feats: (n, d). Initialized from a random sample (the standard asmk
+    training recipe is k-means over local descriptors; this is the
+    sequence-local equivalent)."""
+    feats = np.asarray(feats, np.float32)
+    n, d = feats.shape
+    rng = np.random.default_rng(seed)
+    k = min(n_words, n)
+    cent = feats[rng.choice(n, k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = (
+            (feats**2).sum(1)[:, None]
+            + (cent**2).sum(1)[None, :]
+            - 2.0 * feats @ cent.T
+        )
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            members = feats[assign == j]
+            if len(members):
+                cent[j] = members.mean(0)
+            else:  # re-seed empty cell on a random point
+                cent[j] = feats[rng.integers(n)]
+    if k < n_words:  # pad (degenerate tiny input): duplicate with jitter
+        extra = cent[rng.integers(k, size=n_words - k)]
+        extra = extra + 1e-3 * rng.standard_normal(extra.shape).astype(np.float32)
+        cent = np.concatenate([cent, extra])
+    return cent
 
 
 def load_codebook(path: str) -> np.ndarray:

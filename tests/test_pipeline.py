@@ -116,6 +116,24 @@ def test_pipeline_export(tmp_path, slam):
     assert (tmp_path / "recon.ply").read_bytes().startswith(b"ply")
 
 
+def test_pipeline_live_viewer(slam):
+    """Attaching a LiveViewer and processing a frame pushes a snapshot."""
+    from monst3r_slam_tpu.viz.live import LiveViewer
+
+    v = LiveViewer()  # not started: update() works without a server
+    slam.viewer = v
+    slam._last_viz_push = 0.0
+    frames = synth_video(2, seed=3)
+    for i, img in enumerate(frames):
+        slam.process_frame(100 + i, 4.0 + i / 30.0, img)
+    slam.viewer = None
+    assert v._seq >= 1
+    import struct
+
+    n_p = struct.unpack_from("<4I", v._blob)[1]
+    assert n_p > 0
+
+
 def test_ate_rmse_identity():
     from monst3r_slam_tpu.app.evaluate import ate_rmse
 

@@ -71,3 +71,52 @@ def test_prep_features_shapes():
     attn = jnp.linalg.norm(proj, axis=-1)[0]
     thresh = jnp.sort(attn)[-30]
     assert float(jnp.min(jnp.sort(attn)[-30:])) >= float(thresh) - 1e-6
+
+
+def test_kmeans_codebook_beats_random():
+    """Bootstrapped (k-means) codebook discriminates in-domain scenes that a
+    random Gaussian codebook collapses (round-1 weakness: random 4096-word
+    codebook -> near-noise loop closure)."""
+    rng = np.random.default_rng(7)
+    dim, n_scenes, feats_per = 32, 8, 60
+    # In-domain features live on a shifted, scaled, correlated manifold
+    mix = rng.standard_normal((dim, dim)).astype(np.float32) * 0.2
+    offset = 3.0 * rng.standard_normal(dim).astype(np.float32)
+    bases = [
+        (rng.standard_normal((feats_per, dim)).astype(np.float32) @ mix + offset)
+        for _ in range(n_scenes)
+    ]
+
+    def noisy(b):
+        return b + 0.02 * rng.standard_normal(b.shape).astype(np.float32)
+
+    def precision(db):
+        for b in bases:
+            db.update(noisy(b), True, k=1)
+        hits = 0
+        for want, b in enumerate(bases):
+            scores = db.query(noisy(b))
+            hits += int(np.argmax(scores) == want)
+        return hits / n_scenes
+
+    boot = retrieval.ASMKDatabase(None, n_words=64, bootstrap_frames=3)
+    p_boot = precision(boot)
+    assert boot.centroids is not None  # bootstrap fired
+    assert boot.kf_counter == n_scenes
+    assert p_boot == 1.0, p_boot
+
+
+def test_bootstrap_db_queryless_phase():
+    """During bootstrap the DB returns no matches and indexes everything
+    once the codebook is fit."""
+    rng = np.random.default_rng(8)
+    db = retrieval.ASMKDatabase(None, n_words=8, bootstrap_frames=2)
+    f = rng.standard_normal((60, 8)).astype(np.float32)
+    g = rng.standard_normal((60, 8)).astype(np.float32)
+    assert db.update(f, True, k=3) == []
+    assert db.kf_counter == 0
+    assert db.update(g, True, k=3) == []
+    assert db.kf_counter == 2  # both buffered frames indexed after fit
+    scores = db.query(f + 0.01)
+    assert scores.shape == (2,) and np.isfinite(scores).all()
+    assert db.update(f + 0.01, False, k=2, min_thresh=-1.0) != []

@@ -33,3 +33,46 @@ def test_export_scene_html(tmp_path):
     headless.export_scene_html(tmp_path / "scene.html", pts, cols)
     html = (tmp_path / "scene.html").read_text()
     assert "Float32Array" in html and len(html) > 1000
+
+
+def test_live_viewer_roundtrip():
+    """LiveViewer serves the page and a parseable binary snapshot."""
+    import struct
+    import urllib.request
+
+    from monst3r_slam_tpu.viz.live import LiveViewer
+
+    v = LiveViewer()
+    port = v.start(port=18089)
+    assert port is not None
+    try:
+        rng = np.random.default_rng(0)
+        pts = rng.standard_normal((500, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (500, 3))
+        traj = rng.standard_normal((7, 3)).astype(np.float32)
+        kfs = rng.standard_normal((3, 3)).astype(np.float32)
+        v.update(pts, cols, traj=traj, kf_centers=kfs)
+
+        page = urllib.request.urlopen(f"http://127.0.0.1:{port}/").read().decode()
+        assert "state.bin" in page
+
+        blob = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
+        seq, n_p, n_t, n_k = struct.unpack_from("<4I", blob)
+        assert (seq, n_t, n_k) == (1, 7, 3)
+        assert n_p == 500  # all finite
+        off = 16
+        got = np.frombuffer(blob, "<f4", n_p * 3, off).reshape(-1, 3)
+        np.testing.assert_allclose(got, pts, rtol=1e-6)
+        off += n_p * 12 + n_p * 3
+        off += (4 - off % 4) % 4
+        got_t = np.frombuffer(blob, "<f4", n_t * 3, off).reshape(-1, 3)
+        np.testing.assert_allclose(got_t, traj, rtol=1e-6)
+
+        # NaN points are dropped
+        pts2 = pts.copy()
+        pts2[:10] = np.nan
+        v.update(pts2, cols)
+        blob2 = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
+        assert struct.unpack_from("<4I", blob2)[1] == 490
+    finally:
+        v.stop()
