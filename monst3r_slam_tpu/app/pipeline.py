@@ -720,6 +720,19 @@ class SLAMSystem:
                     threshold=self.dyn_threshold, refine=self.dyn_refine,
                 )
                 cur_dyn_mask = m
+                # Debug overlay (tracker2.py:132-157; same config key, same
+                # default-on behavior, same logs/ layout).
+                if self.cfg.get("debug_save_dynamic_mask", True):
+                    try:
+                        from monst3r_slam_tpu.viz import debug as dbgviz
+
+                        dbgviz.save_mask_overlay(
+                            self._debug_dir("debug_dynamic_mask")
+                            / f"frame_{frame_id:06d}.png",
+                            uimg, m, color=(255, 0, 0), alpha=0.5,
+                        )
+                    except Exception as e:  # best-effort, like the reference
+                        print(f"dynamic-mask overlay failed for {frame_id}: {e}")
                 if m.any():
                     mask_flat = jnp.asarray(m.reshape(-1))
                     _, C1m, D1m, Q1m = dyn.apply_dynamic_mask_to_pointmaps(
@@ -817,6 +830,44 @@ class SLAMSystem:
         )
         frame = dataclasses.replace(frame, X_canon=fX, C=fC, N=fN, score=fS)
 
+        # Debug: final valid_opt mask overlay (tracker2.py:180-206; same
+        # config key and default). Recomputed host-side from the program's
+        # outputs: valid_match & C/Q confidence gates.
+        if (
+            self.use_dynamic_mask
+            and uimg is not None
+            and self.cfg.get("debug_save_final_valid_opt_mask", True)
+        ):
+            try:
+                from monst3r_slam_tpu.viz import debug as dbgviz
+
+                idx = np.asarray(idx_f2k[0] if idx_f2k.ndim > 1 else idx_f2k)
+                vm = np.asarray(valid_match_k).reshape(-1)
+                Qk = np.sqrt(
+                    np.asarray(out.Q1).reshape(-1)[idx]
+                    * np.asarray(out.Q2).reshape(-1)
+                )
+                Cf = (
+                    np.asarray(fC).reshape(-1)
+                    / np.maximum(np.asarray(fN, np.float32).reshape(-1), 1.0)
+                )[idx]
+                Ck = np.asarray(mem_C[kf_idx]).reshape(-1) / np.maximum(
+                    np.asarray(mem_N[kf_idx], np.float32).reshape(-1), 1.0
+                )
+                valid_opt = (
+                    vm
+                    & (Cf > self.track_cfg.C_conf)
+                    & (Ck > self.track_cfg.C_conf)
+                    & (Qk > self.track_cfg.Q_conf)
+                ).reshape(self.img_size)
+                dbgviz.save_mask_overlay(
+                    self._debug_dir("debug_final_valid_opt_mask")
+                    / f"frame_{frame_id:06d}_final_opt.png",
+                    uimg, valid_opt, color=(0, 255, 0), alpha=0.5,
+                )
+            except Exception as e:
+                print(f"valid_opt overlay failed for {frame_id}: {e}")
+
         if bool(res.low_match) or bool(res.solver_failed):
             self.mode = Mode.RELOC
             self.idx_f2k = None
@@ -835,6 +886,14 @@ class SLAMSystem:
             self.last_T_WC = np.asarray(self.mem.T_WC[new_idx])
 
         self._record_pose(frame_id, jnp.asarray(self.last_T_WC))
+
+    def _debug_dir(self, name: str):
+        """logs/<dataset>/<sequence>/<name> (tracker2.py:150-153 layout)."""
+        import pathlib
+
+        ds = self.cfg.get("dataset", {})
+        seq = ds.get("sequence", ds.get("video", "unknown_video"))
+        return pathlib.Path("logs") / ds.get("name", "unknown_dataset") / str(seq) / name
 
     def _set_kf_uimg(self, idx: int, uimg, dyn_mask=None):
         while len(self.kf_uimgs) <= idx:

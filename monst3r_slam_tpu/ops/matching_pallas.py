@@ -74,13 +74,13 @@ def _split3(x32):
 def _kernel(
     corners_ref,  # scalar prefetch: (T, 2) int32 (x, y), 16-aligned
     img_hbm,  # (h, w, PACK) bf16 ANY — packed [ray_hi | desc | ray_mid | ray_lo]
-    qB_ref,  # (1, sub_q, PACK) bf16 VMEM — [q_hi | 0 | q_hi | q_hi]
-    qC_ref,  # (1, sub_q, PACK) bf16 VMEM — [q_mid | 0 | q_mid | 0]
-    qE_ref,  # (1, sub_q, PACK) bf16 VMEM — [q_lo | 0 | 0 | 0]
-    qD_ref,  # (1, sub_q, PACK) bf16 VMEM — [0 | q_desc | 0 | 0]
-    u_out,  # (1, 1, sub_q) int32
-    v_out,  # (1, 1, sub_q) int32
-    conv_out,  # (1, 1, sub_q) int32
+    qB_ref,  # (1, n_sub, sub_q, PACK) bf16 VMEM — [q_hi | 0 | q_hi | q_hi]
+    qC_ref,  # (1, n_sub, sub_q, PACK) bf16 VMEM — [q_mid | 0 | q_mid | 0]
+    qE_ref,  # (1, n_sub, sub_q, PACK) bf16 VMEM — [q_lo | 0 | 0 | 0]
+    qD_ref,  # (1, n_sub, sub_q, PACK) bf16 VMEM — [0 | q_desc | 0 | 0]
+    u_out,  # (1, n_sub, sub_q) int32
+    v_out,  # (1, n_sub, sub_q) int32
+    conv_out,  # (1, n_sub, sub_q) int32
     crop_scr,  # VMEM scratch (crop, crop, PACK) bf16 — DMA target
     sem,  # DMA semaphore
     *,
@@ -88,74 +88,79 @@ def _kernel(
     window: int,
     conv_thresh: float,
 ):
+    # One grid step per TILE; the (static) subblock loop runs inside so the
+    # per-step Mosaic overhead is paid T times, not T*n_sub times.
     t = pl.program_id(0)
-    j = pl.program_id(1)
     # multiple_of: Mosaic can't prove the runtime corner is tile-aligned on
     # its own; the host quantizes corners to 16 (bf16 sublane-pair tiling).
     cx = pl.multiple_of(corners_ref[t, 0], 16)
     cy = pl.multiple_of(corners_ref[t, 1], 16)
 
-    @pl.when(j == 0)
-    def _fetch():
-        dma = pltpu.make_async_copy(
-            img_hbm.at[pl.ds(cy, crop), pl.ds(cx, crop), :], crop_scr, sem
-        )
-        dma.start()
-        dma.wait()
+    dma = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(cy, crop), pl.ds(cx, crop), :], crop_scr, sem
+    )
+    dma.start()
+    dma.wait()
 
-    nq = qB_ref.shape[1]
+    n_sub = qB_ref.shape[1]
+    nq = qB_ref.shape[2]
     m = crop * crop
     patch = crop_scr[...].reshape(m, PACK)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, m), 1)
 
     def nt(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    s_ray = nt(qB_ref[0], patch) + nt(qC_ref[0], patch) + nt(qE_ref[0], patch)
-    best = jnp.argmax(s_ray, axis=-1)  # (nq,)
-    s0 = jnp.max(s_ray, axis=-1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (nq, m), 1)
-
-    # 5-point stencil around the peak (x neighbors +-1 flat index, y
-    # neighbors +-crop; border peaks pick up a wrapped far pixel, which only
-    # deflates the fitted peak -> conservative convergence). The parabola
-    # gain needs only (sp - sm) and (sp + sm) per axis, so each axis costs
-    # ONE masked reduction with a +-1 signed mask and one with a 0/1 mask —
-    # no rolled copies of the 2 MB score map.
-    def pair_sums(d):
-        at_p = col == (best[:, None] + d)
-        at_m = col == (best[:, None] - d)
-        sgn = jnp.where(at_p, 1.0, 0.0) - jnp.where(at_m, 1.0, 0.0)
-        mag = jnp.where(at_p | at_m, s_ray, 0.0)
-        diff = jnp.sum(s_ray * sgn, axis=-1)  # sp - sm
-        tot = jnp.sum(mag, axis=-1)  # sp + sm
-        return diff, tot
-
-    dx, tx = pair_sums(1)
-    dy, ty = pair_sums(crop)
-
-    def gain(diff, tot):
-        denom = 2.0 * s0 - tot
-        g = jnp.where(
-            denom > 1e-12, diff * diff / (8.0 * jnp.maximum(denom, 1e-12)), 0.0
+    for j in range(n_sub):
+        s_ray = (
+            nt(qB_ref[0, j], patch)
+            + nt(qC_ref[0, j], patch)
+            + nt(qE_ref[0, j], patch)
         )
-        return jnp.maximum(g, 0.0)
+        best = jnp.argmax(s_ray, axis=-1)  # (nq,)
+        s0 = jnp.max(s_ray, axis=-1)
 
-    peak = s0 + gain(dx, tx) + gain(dy, ty)
-    conv_out[0, 0] = ((2.0 - 2.0 * peak) < conv_thresh).astype(jnp.int32)
+        # 5-point stencil around the peak (x neighbors +-1 flat index, y
+        # neighbors +-crop; border peaks pick up a wrapped far pixel, which
+        # only deflates the fitted peak -> conservative convergence). The
+        # parabola gain needs only (sp - sm) and (sp + sm) per axis, so each
+        # axis costs ONE signed-mask reduction and one masked reduction — no
+        # rolled copies of the 2 MB score map.
+        def pair_sums(d, best=best, s_ray=s_ray):
+            at_p = col == (best[:, None] + d)
+            at_m = col == (best[:, None] - d)
+            sgn = jnp.where(at_p, 1.0, 0.0) - jnp.where(at_m, 1.0, 0.0)
+            mag = jnp.where(at_p | at_m, s_ray, 0.0)
+            diff = jnp.sum(s_ray * sgn, axis=-1)  # sp - sm
+            tot = jnp.sum(mag, axis=-1)  # sp + sm
+            return diff, tot
 
-    pu = best % crop
-    pv = best // crop
+        dx, tx = pair_sums(1)
+        dy, ty = pair_sums(crop)
 
-    s_desc = nt(qD_ref[0], patch)
-    du = col % crop - pu[:, None]
-    dv = col // crop - pv[:, None]
-    in_win = (jnp.abs(du) <= window) & (jnp.abs(dv) <= window)
-    best_d = jnp.argmax(jnp.where(in_win, s_desc, -jnp.inf), axis=-1)
+        def gain(diff, tot, s0=s0):
+            denom = 2.0 * s0 - tot
+            g = jnp.where(
+                denom > 1e-12, diff * diff / (8.0 * jnp.maximum(denom, 1e-12)), 0.0
+            )
+            return jnp.maximum(g, 0.0)
 
-    u_out[0, 0] = cx + best_d % crop
-    v_out[0, 0] = cy + best_d // crop
+        peak = s0 + gain(dx, tx) + gain(dy, ty)
+        conv_out[0, j] = ((2.0 - 2.0 * peak) < conv_thresh).astype(jnp.int32)
+
+        pu = best % crop
+        pv = best // crop
+
+        s_desc = nt(qD_ref[0, j], patch)
+        du = col % crop - pu[:, None]
+        dv = col // crop - pv[:, None]
+        in_win = (jnp.abs(du) <= window) & (jnp.abs(dv) <= window)
+        best_d = jnp.argmax(jnp.where(in_win, s_desc, -jnp.inf), axis=-1)
+
+        u_out[0, j] = cx + best_d % crop
+        v_out[0, j] = cy + best_d // crop
 
 
 @functools.partial(jax.jit, static_argnames=("tcfg", "conv_thresh", "interpret"))
@@ -195,10 +200,10 @@ def tile_match_pallas(
     q_hi, q_mid, q_lo = _split3(q_rays)
     zq = jnp.zeros_like(q_desc)
     zr = jnp.zeros_like(q_rays)
-    qB = pack4(q_hi, zq, q_hi, q_hi).reshape(T * n_sub, sub_q, PACK)
-    qC = pack4(q_mid, zq, q_mid, zr).reshape(T * n_sub, sub_q, PACK)
-    qE = pack4(q_lo, zq, zr, zr).reshape(T * n_sub, sub_q, PACK)
-    qD = pack4(zr, q_desc, zr, zr).reshape(T * n_sub, sub_q, PACK)
+    qB = pack4(q_hi, zq, q_hi, q_hi).reshape(T, n_sub, sub_q, PACK)
+    qC = pack4(q_mid, zq, q_mid, zr).reshape(T, n_sub, sub_q, PACK)
+    qE = pack4(q_lo, zq, zr, zr).reshape(T, n_sub, sub_q, PACK)
+    qD = pack4(zr, q_desc, zr, zr).reshape(T, n_sub, sub_q, PACK)
 
     corners = jnp.stack(
         [
@@ -212,24 +217,26 @@ def tile_match_pallas(
         _kernel, crop=crop, window=tcfg.window, conv_thresh=conv_thresh
     )
 
-    # Query/output blocks live in a flat (T*n_sub) leading dim
-    def qmap(i, j, c):
-        return (i * n_sub + j, 0, 0)
+    def qmap(i, c):
+        return (i, 0, 0, 0)
+
+    def omap(i, c):
+        return (i, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T, n_sub),
+        grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, sub_q, PACK), qmap),
-            pl.BlockSpec((1, sub_q, PACK), qmap),
-            pl.BlockSpec((1, sub_q, PACK), qmap),
-            pl.BlockSpec((1, sub_q, PACK), qmap),
+            pl.BlockSpec((1, n_sub, sub_q, PACK), qmap),
+            pl.BlockSpec((1, n_sub, sub_q, PACK), qmap),
+            pl.BlockSpec((1, n_sub, sub_q, PACK), qmap),
+            pl.BlockSpec((1, n_sub, sub_q, PACK), qmap),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, sub_q), qmap),
-            pl.BlockSpec((1, 1, sub_q), qmap),
-            pl.BlockSpec((1, 1, sub_q), qmap),
+            pl.BlockSpec((1, n_sub, sub_q), omap),
+            pl.BlockSpec((1, n_sub, sub_q), omap),
+            pl.BlockSpec((1, n_sub, sub_q), omap),
         ],
         scratch_shapes=[
             pltpu.VMEM((crop, crop, PACK), bf),
@@ -240,13 +247,13 @@ def tile_match_pallas(
     u, v, conv = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((T * n_sub, 1, sub_q), jnp.int32),
-            jax.ShapeDtypeStruct((T * n_sub, 1, sub_q), jnp.int32),
-            jax.ShapeDtypeStruct((T * n_sub, 1, sub_q), jnp.int32),
+            jax.ShapeDtypeStruct((T, n_sub, sub_q), jnp.int32),
+            jax.ShapeDtypeStruct((T, n_sub, sub_q), jnp.int32),
+            jax.ShapeDtypeStruct((T, n_sub, sub_q), jnp.int32),
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(corners, img, qB, qC, qE, qD)

@@ -27,6 +27,9 @@ def dyn_slam():
     cfg["local_opt"]["min_match_frac"] = 0.0
     cfg["use_dynamic_mask"] = True
     cfg["use_calib"] = True
+    # keep test runs from writing per-frame debug PNGs into logs/
+    cfg["debug_save_dynamic_mask"] = False
+    cfg["debug_save_final_valid_opt_mask"] = False
 
     mast3r = init_params(jax.random.PRNGKey(0), TINY)
     monst3r = init_params(jax.random.PRNGKey(1), TINY_NODESC)
