@@ -709,7 +709,16 @@ class SLAMSystem:
         # was tracked as a frame) masks the keyframe side — the reference's
         # `dynamic_mask_j` parameter (monst3r_utils.py:448-481).
         cur_dyn_mask = None
-        if self.use_dynamic_mask and self.K is not None and uimg is not None:
+        # Flow-error masking belongs to the MonST3R pipeline (reference
+        # tracker2); base config enables `use_dynamic_mask` globally like the
+        # reference, but main.py's plain MASt3R tracker (tracker.py) never
+        # computes masks — gate on the dual model being present.
+        if (
+            self.use_dynamic_mask
+            and self.dual is not None
+            and self.K is not None
+            and uimg is not None
+        ):
             kf_uimg = self.kf_uimgs[kf_idx] if kf_idx < len(self.kf_uimgs) else None
             if kf_uimg is not None:
                 from monst3r_slam_tpu.dynamic import mask as dyn

@@ -39,7 +39,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PACK = 128  # packed channel count (lane-aligned)
+def _pack_width(fd: int) -> int:
+    """Packed channel count. Always the full 128 lanes: Mosaic pads the HBM
+    lane dim to 128 regardless, and a sub-128 channel slice in the crop DMA
+    is rejected ("slice shape along dim 2 must be aligned to tiling (128)"),
+    so a narrower logical pack saves nothing."""
+    assert fd + 9 <= 128
+    return 128
 
 
 class PallasTileConfig(NamedTuple):
@@ -104,8 +110,9 @@ def _kernel(
 
     n_sub = qB_ref.shape[1]
     nq = qB_ref.shape[2]
+    pack = qB_ref.shape[3]
     m = crop * crop
-    patch = crop_scr[...].reshape(m, PACK)
+    patch = crop_scr[...].reshape(m, pack)
     col = jax.lax.broadcasted_iota(jnp.int32, (nq, m), 1)
 
     def nt(a, b):
@@ -166,7 +173,7 @@ def _kernel(
 @functools.partial(jax.jit, static_argnames=("tcfg", "conv_thresh", "interpret"))
 def tile_match_pallas(
     rays_img: jax.Array,  # (h, w, 3) unit rays of the target image, f32
-    desc_img: jax.Array,  # (h, w, fd), fd <= PACK-9
+    desc_img: jax.Array,  # (h, w, fd)
     q_rays: jax.Array,  # (T, tsz, 3) query unit rays per tile, f32
     q_desc: jax.Array,  # (T, tsz, fd)
     corners: jax.Array,  # (T, 2) int32 crop corners (x, y)
@@ -182,7 +189,7 @@ def tile_match_pallas(
     sub_q = min(tcfg.sub_q, tsz)
     n_sub = tsz // sub_q
     assert tsz % sub_q == 0
-    assert fd + 9 <= PACK
+    PACK = _pack_width(fd)
 
     bf = jnp.bfloat16
 

@@ -64,11 +64,13 @@ def _solve_7x7(sqrt_info: jax.Array, r: jax.Array, J: jax.Array, huber_k: float)
     w = sqrt_info * jnp.sqrt(robust.huber(whitened_r, huber_k))
     A = w[..., None] * J  # (n, m, 7)
     b = w * r  # (n, m)
-    A2 = A.reshape(-1, 7)
-    b2 = b.reshape(-1)
-    H = A2.T @ A2
-    g = -(A2.T @ b2)
-    cost = 0.5 * jnp.sum(b2 * b2)
+    # One augmented Gram reduction instead of three passes over A:
+    # M = [A | b] -> M^T M holds H (7x7), A^T b (= -g), and b^T b (= 2*cost).
+    M = jnp.concatenate([A, b[..., None]], axis=-1).reshape(-1, 8)
+    G = M.T @ M
+    H = G[:7, :7]
+    g = -G[:7, 7]
+    cost = 0.5 * G[7, 7]
 
     L, lower = jax.scipy.linalg.cho_factor(H, lower=True)
     tau = jax.scipy.linalg.cho_solve((L, lower), g)

@@ -61,6 +61,7 @@ def test_slam_state_checkpoint_roundtrip(tmp_path):
     from tests.test_pipeline import H, W, synth_video
 
     cfg = load_config("config/base.yaml")
+    cfg["single_thread"] = True  # deterministic eval mode
     cfg["tracking"]["Q_conf"] = -1e9
     cfg["tracking"]["min_match_frac"] = 0.0
     params = init_params(jax.random.PRNGKey(0), TINY)

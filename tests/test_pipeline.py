@@ -37,6 +37,7 @@ def synth_video(n, h=H, w=W, seed=0):
 def slam():
     cfg = load_config("config/base.yaml")
     # Relax gates: random weights produce arbitrary confidences
+    cfg["single_thread"] = True  # deterministic eval mode
     cfg["tracking"]["Q_conf"] = -1e9
     cfg["tracking"]["C_conf"] = -1e9
     cfg["tracking"]["min_match_frac"] = 0.0

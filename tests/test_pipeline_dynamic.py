@@ -20,6 +20,7 @@ TINY_NODESC = dataclasses.replace(TINY, desc_dim=None, two_confs=False)
 @pytest.fixture(scope="module")
 def dyn_slam():
     cfg = load_config("config/base.yaml")
+    cfg["single_thread"] = True  # deterministic eval mode
     cfg["tracking"]["Q_conf"] = -1e9
     cfg["tracking"]["C_conf"] = -1e9
     cfg["tracking"]["min_match_frac"] = 0.0

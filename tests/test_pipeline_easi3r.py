@@ -29,6 +29,7 @@ def easi_params():
 @pytest.fixture(scope="module")
 def easi_slam(easi_params):
     cfg = load_config("config/base.yaml")
+    cfg["single_thread"] = True  # deterministic eval mode
     cfg["tracking"]["Q_conf"] = -1e9
     cfg["tracking"]["C_conf"] = -1e9
     cfg["tracking"]["min_match_frac"] = 0.0
