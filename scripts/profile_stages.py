@@ -130,7 +130,31 @@ def main():
 
     rec("track_ms", chain_time(trk_step) * 1e3)
 
-    total = sum(v for k, v in results.items() if k != "noop_chain_ms")
+    # --- match+track fused (the production per-frame program, bench.py) ------
+    @jax.jit
+    def match_track(idx_prev, T_prev):
+        i, v = matching_tiled.match_tiled(
+            X1, X2, out.D1, out.D2, idx_prev,
+            cfg=match_cfg, tcfg=tcfg, use_init=True, use_pallas=on_tpu)
+        Tn = tracker_mod.track_pose(
+            track_cfg, (h, w), False, i[0], v[0], Q1, Q2, Xf, Cf,
+            kf_X, kf_C, T_prev, T_WCk).T_WCf
+        return i, Tn
+
+    i_, T_ = match_track(idx0, T_WCk)
+    np.asarray(T_)
+    st = {"idx": i_, "T": T_}
+
+    def mt_step(k):
+        st["idx"], st["T"] = match_track(st["idx"], st["T"])
+        return st["T"]
+
+    rec("match_track_fused_ms", chain_time(mt_step) * 1e3)
+
+    total = sum(
+        v for k, v in results.items()
+        if k in ("encode_ms", "decode_ms", "match_track_fused_ms")
+    )
     rec("frame_total_ms", total)
     rec("fps_bound", 1e3 / total)
     print(json.dumps({k: round(v, 3) for k, v in results.items()}, indent=1))
