@@ -151,3 +151,78 @@ def test_ate_rmse_identity():
     xyz2 = 1.7 * (xyz @ R.T) + np.asarray([3.0, -2.0, 1.0])
     rmse, _ = ate_rmse(t, xyz, t, xyz2)
     assert rmse < 1e-6
+
+
+def test_fused_match_track_equals_split(slam):
+    """The fused _match_track_and_update program must produce the same
+    matches, pose, and memory updates as the split matcher +
+    _track_and_update path."""
+    import jax.numpy as jnp
+    import dataclasses as dc
+
+    from monst3r_slam_tpu.app import pipeline as pl
+    from monst3r_slam_tpu.ops import matching_tiled
+
+    hw = slam.hw
+    h, w = slam.img_size
+    rng = np.random.default_rng(11)
+
+    def dec_like(c):
+        return (
+            jnp.asarray(rng.standard_normal((hw, 3)), jnp.float32)
+            + jnp.asarray([0.0, 0.0, 3.0]),
+            jnp.asarray(rng.uniform(1, 3, (hw, 1)), jnp.float32),
+            jnp.asarray(rng.uniform(1, 3, (hw, 1)), jnp.float32),
+            jnp.asarray(rng.standard_normal((hw, 24)), jnp.float32),
+        )
+
+    X1, C1, Q1, D1 = dec_like(0)
+    X2, C2, Q2, D2 = dec_like(1)
+    frame_X, frame_C = X1, C1
+    frame_N = jnp.ones((hw, 1))
+    frame_S = jnp.zeros(())
+    mem = slam.mem
+    kf_idx = jnp.asarray(0, jnp.int32)
+    from monst3r_slam_tpu.core import lie
+
+    T = lie.sim3_identity()
+    K = jnp.eye(3)
+    common = dict(
+        track_cfg=slam.track_cfg, img_size=slam.img_size, use_calib=False,
+        fmode=slam.filtering_mode, fscore=slam.track_cfg.filtering_score,
+    )
+
+    def copy_mem(m):
+        return (jnp.array(m.X_canon), jnp.array(m.C), jnp.array(m.N),
+                jnp.array(m.score))
+
+    # split path
+    idx_s, valid_s = matching_tiled.match(
+        X1.reshape(1, h, w, 3), X2.reshape(1, h, w, 3),
+        D1.reshape(1, h, w, -1), D2.reshape(1, h, w, -1),
+        cfg=slam.match_cfg, tcfg=slam.match_tcfg,
+    )
+    outs_split = pl._track_and_update(
+        *copy_mem(mem), kf_idx, idx_s[0], valid_s[0],
+        X1, C1, Q1, X2, C2, Q2, frame_X, frame_C, frame_N, frame_S,
+        T, T, K, **common,
+    )
+
+    # fused path (no warm start, same as the split call above)
+    outs_fused = pl._match_track_and_update(
+        *copy_mem(mem), kf_idx,
+        X1, C1, Q1, D1, X2, C2, Q2, D2,
+        jnp.zeros((hw,), jnp.int32),
+        frame_X, frame_C, frame_N, frame_S,
+        T, T, K, **common,
+        mcfg=slam.match_cfg, tcfg=slam.match_tcfg,
+        use_pallas=False, use_init=False,
+    )
+    idx_f, valid_f = outs_fused[-2], outs_fused[-1]
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_s))
+    np.testing.assert_array_equal(np.asarray(valid_f), np.asarray(valid_s))
+    res_s, res_f = outs_split[8], outs_fused[8]
+    np.testing.assert_allclose(
+        np.asarray(res_f.T_WCf), np.asarray(res_s.T_WCf), atol=1e-6)
+    for a, b in zip(outs_split[:8], outs_fused[:8]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
