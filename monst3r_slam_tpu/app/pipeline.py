@@ -743,6 +743,7 @@ class SLAMSystem:
                     except Exception as e:  # best-effort, like the reference
                         print(f"dynamic-mask overlay failed for {frame_id}: {e}")
                 if m.any():
+                    C1_before = out.C1
                     mask_flat = jnp.asarray(m.reshape(-1))
                     _, C1m, D1m, Q1m = dyn.apply_dynamic_mask_to_pointmaps(
                         out.X1.reshape(self.hw, 3),
@@ -756,6 +757,33 @@ class SLAMSystem:
                         D1=D1m.reshape(out.D1.shape),
                         Q1=Q1m.reshape(out.Q1.shape),
                     )
+                    # Optional pointmap-masking debug panels / 3D scatter
+                    # (monst3r_utils.py:789-1009; config keys from the
+                    # reference base.yaml, default off).
+                    if self.cfg.get(
+                        "debug_save_pointmap_visualization", False
+                    ) or self.cfg.get("debug_save_3d_pointclouds", False):
+                        try:
+                            from monst3r_slam_tpu.viz import debug as dbgviz
+
+                            h_, w_ = self.img_size
+                            Xhw = np.asarray(out.X1).reshape(h_, w_, 3)
+                            Cb = np.asarray(C1_before).reshape(h_, w_)
+                            Ca = np.asarray(out.C1).reshape(h_, w_)
+                            if self.cfg.get(
+                                "debug_save_pointmap_visualization", False
+                            ):
+                                dbgviz.save_pointmap_visualization(
+                                    Xhw, Cb, Xhw, Ca, frame_id,
+                                    self._debug_dir("debug_pointmap_visualization"),
+                                )
+                            if self.cfg.get("debug_save_3d_pointclouds", False):
+                                dbgviz.save_3d_pointcloud_comparison(
+                                    Xhw, Cb, Xhw, Ca, frame_id,
+                                    self._debug_dir("debug_3d_pointclouds"),
+                                )
+                        except Exception as e:
+                            print(f"pointmap debug dump failed for {frame_id}: {e}")
                 kf_mask = (
                     self.kf_dyn_masks[kf_idx]
                     if kf_idx < len(self.kf_dyn_masks)

@@ -31,6 +31,8 @@ def dyn_slam():
     # keep test runs from writing per-frame debug PNGs into logs/
     cfg["debug_save_dynamic_mask"] = False
     cfg["debug_save_final_valid_opt_mask"] = False
+    cfg["debug_save_pointmap_visualization"] = False
+    cfg["debug_save_3d_pointclouds"] = False
 
     mast3r = init_params(jax.random.PRNGKey(0), TINY)
     monst3r = init_params(jax.random.PRNGKey(1), TINY_NODESC)
