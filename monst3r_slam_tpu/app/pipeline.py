@@ -980,7 +980,9 @@ class SLAMSystem:
             else np.zeros((0, 3), np.float32)
         )
         self.viewer.update(
-            np.concatenate(pts), np.concatenate(rgb), traj=traj, kf_centers=T[:, :3]
+            np.concatenate(pts), np.concatenate(rgb), traj=traj,
+            kf_centers=T[:, :3],
+            kf_segments=type(self.viewer).frustum_segments(T),
         )
 
     # ------------------------------------------------------------------

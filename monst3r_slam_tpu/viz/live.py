@@ -9,9 +9,10 @@ polls `/state.bin` and re-renders. Start it with the mains' default viz mode
 (disable with --no-viz, same flag as the reference).
 
 Binary snapshot layout (little-endian):
-  uint32 seq, n_points, n_traj, n_kf
+  uint32 seq, n_points, n_traj, n_kf, n_seg
   f32 points[n_points*3], u8 colors[n_points*3],
-  f32 traj[n_traj*3], f32 kf[n_kf*3]
+  f32 traj[n_traj*3], f32 kf[n_kf*3], f32 segs[n_seg*6]
+(kf = keyframe center markers; segs = frustum line segments)
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ canvas.width = innerWidth; canvas.height = innerHeight;
 const ctx = canvas.getContext('2d');
 let pts = new Float32Array(0), cols = new Uint8Array(0);
 let traj = new Float32Array(0), kfs = new Float32Array(0);
+let segs = new Float32Array(0);
 let seq = -1, center = [0,0,0], scale = 1;
 let yaw = 0.5, pitch = 0.4, dist = 4;
 let dragging = false, lx = 0, ly = 0;
@@ -103,21 +105,29 @@ function draw() {
     const p = proj(kfs[i], kfs[i+1], kfs[i+2], cyaw, syaw, cp, sp, f);
     if (p) ctx.fillRect(p[0]-2, p[1]-2, 4, 4);
   }
+  ctx.strokeStyle = '#fa4'; ctx.lineWidth = 1; ctx.beginPath();
+  for (let i = 0; i < segs.length; i += 6) {
+    const p0 = proj(segs[i], segs[i+1], segs[i+2], cyaw, syaw, cp, sp, f);
+    const p1 = proj(segs[i+3], segs[i+4], segs[i+5], cyaw, syaw, cp, sp, f);
+    if (p0 && p1) { ctx.moveTo(p0[0], p0[1]); ctx.lineTo(p1[0], p1[1]); }
+  }
+  ctx.stroke();
 }
 async function poll() {
   try {
     const r = await fetch('/state.bin', {cache: 'no-store'});
     const buf = await r.arrayBuffer();
-    const head = new Uint32Array(buf, 0, 4);
+    const head = new Uint32Array(buf, 0, 5);
     if (head[0] !== seq) {
       seq = head[0];
-      const np_ = head[1], nt = head[2], nk = head[3];
-      let off = 16;
+      const np_ = head[1], nt = head[2], nk = head[3], ns = head[4];
+      let off = 20;
       pts = new Float32Array(buf.slice(off, off + np_*12)); off += np_*12;
       cols = new Uint8Array(buf.slice(off, off + np_*3)); off += np_*3;
       off += (4 - off % 4) % 4;
       traj = new Float32Array(buf.slice(off, off + nt*12)); off += nt*12;
-      kfs = new Float32Array(buf.slice(off, off + nk*12));
+      kfs = new Float32Array(buf.slice(off, off + nk*12)); off += nk*12;
+      segs = new Float32Array(buf.slice(off, off + ns*24));
       recenter(); draw();
       hud.textContent = `update ${seq}: ${np_} pts, ${nk} keyframes, ${nt} poses`;
     }
@@ -128,7 +138,7 @@ poll();
 </script></body></html>
 """
 
-_EMPTY = struct.pack("<4I", 0, 0, 0, 0)
+_EMPTY = struct.pack("<5I", 0, 0, 0, 0, 0)
 
 
 class LiveViewer:
@@ -141,12 +151,49 @@ class LiveViewer:
         self._server: Optional[socketserver.TCPServer] = None
         self.port: Optional[int] = None
 
+    @staticmethod
+    def frustum_segments(kf_poses: np.ndarray, size: float = 0.1) -> np.ndarray:
+        """Sim(3) keyframe poses (k, 8: t, q_xyzw, s) -> (k*8, 2, 3) line
+        segments forming camera frustums (apex->corners + image-plane ring),
+        the live-viewer equivalent of the reference's Frustums geometry
+        (`visualization_utils.py:27-83`)."""
+        kf_poses = np.asarray(kf_poses, np.float32).reshape(-1, 8)
+        t = kf_poses[:, :3]
+        q = kf_poses[:, 3:7]  # xyzw
+        s = kf_poses[:, 7:8]
+        x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        R = np.stack(
+            [
+                1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+                2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+                2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+            ],
+            axis=-1,
+        ).reshape(-1, 3, 3)
+        a, b, f = 0.8 * size, 0.6 * size, size
+        local = np.array(
+            [
+                [0, 0, 0],
+                [-a, -b, f], [a, -b, f], [a, b, f], [-a, b, f],
+            ],
+            np.float32,
+        )  # apex + 4 corners
+        pts = (
+            np.einsum("kij,cj->kci", R, local) * s[:, :, None] + t[:, None, :]
+        )  # (k, 5, 3)
+        idx = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (4, 1)]
+        segs = np.stack(
+            [np.stack([pts[:, i], pts[:, j]], axis=1) for i, j in idx], axis=1
+        )  # (k, 8, 2, 3)
+        return segs.reshape(-1, 2, 3)
+
     def update(
         self,
         points: np.ndarray,  # (n, 3) float
         colors: np.ndarray,  # (n, 3) float [0,1] or uint8
         traj: Optional[np.ndarray] = None,  # (t, 3) camera centers
         kf_centers: Optional[np.ndarray] = None,  # (k, 3)
+        kf_segments: Optional[np.ndarray] = None,  # (L, 2, 3) frustum lines
         max_points: int = 250_000,
     ):
         points = np.asarray(points, np.float32).reshape(-1, 3)
@@ -170,13 +217,19 @@ class LiveViewer:
             if kf_centers is None
             else np.asarray(kf_centers, np.float32).reshape(-1, 3)
         )
+        segs = (
+            np.zeros((0, 2, 3), np.float32)
+            if kf_segments is None
+            else np.asarray(kf_segments, np.float32).reshape(-1, 2, 3)
+        )
         self._seq += 1
         head = struct.pack(
-            "<4I", self._seq, points.shape[0], traj.shape[0], kf.shape[0]
+            "<5I", self._seq, points.shape[0], traj.shape[0], kf.shape[0],
+            segs.shape[0],
         )
         body = points.tobytes() + colors.tobytes()
         body += b"\0" * ((4 - (len(head) + len(body)) % 4) % 4)
-        blob = head + body + traj.tobytes() + kf.tobytes()
+        blob = head + body + traj.tobytes() + kf.tobytes() + segs.tobytes()
         with self._lock:
             self._blob = blob
 

@@ -51,16 +51,22 @@ def test_live_viewer_roundtrip():
         cols = rng.uniform(0, 1, (500, 3))
         traj = rng.standard_normal((7, 3)).astype(np.float32)
         kfs = rng.standard_normal((3, 3)).astype(np.float32)
-        v.update(pts, cols, traj=traj, kf_centers=kfs)
+        segs = v.frustum_segments(
+            np.concatenate(
+                [kfs, np.tile([0, 0, 0, 1, 1.0], (3, 1))], axis=1
+            ).astype(np.float32)
+        )
+        assert segs.shape == (24, 2, 3)
+        v.update(pts, cols, traj=traj, kf_centers=kfs, kf_segments=segs)
 
         page = urllib.request.urlopen(f"http://127.0.0.1:{port}/").read().decode()
         assert "state.bin" in page
 
         blob = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
-        seq, n_p, n_t, n_k = struct.unpack_from("<4I", blob)
-        assert (seq, n_t, n_k) == (1, 7, 3)
+        seq, n_p, n_t, n_k, n_s = struct.unpack_from("<5I", blob)
+        assert (seq, n_t, n_k, n_s) == (1, 7, 3, 24)
         assert n_p == 500  # all finite
-        off = 16
+        off = 20
         got = np.frombuffer(blob, "<f4", n_p * 3, off).reshape(-1, 3)
         np.testing.assert_allclose(got, pts, rtol=1e-6)
         off += n_p * 12 + n_p * 3
@@ -73,6 +79,6 @@ def test_live_viewer_roundtrip():
         pts2[:10] = np.nan
         v.update(pts2, cols)
         blob2 = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
-        assert struct.unpack_from("<4I", blob2)[1] == 490
+        assert struct.unpack_from("<5I", blob2)[1] == 490
     finally:
         v.stop()
