@@ -1,21 +1,40 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end per-frame tracking compute on one TPU chip.
+"""Benchmark: per-frame SLAM compute on one TPU chip, stall-resilient.
 
-Measures the full per-frame SLAM tracking path of the flagship model
-(MASt3R ViT-L, 512x384, bf16 matmuls): encoder + dual decoder + DPT/catMLP
-heads + tiled MXU matching + Sim(3) GN tracking. Reference baseline:
-0.16-0.19 FPS end-to-end for the dynamic MonST3R pipeline on a >=12GB CUDA
-GPU (BASELINE.md).
+Two figures, matching the reference's two headline artifacts (BASELINE.md):
 
-Timing: the whole frame step is ONE jitted program; iterations chain real
-data (previous pose/index warm-start feeds the next frame), and the final
-pose is fetched to host (plain block_until_ready under-reports on this
-remote-TPU stack).
+  1. `tracking_fps_512x384_vitl` — the MASt3R tracking path (main.py):
+     encoder + dual decoder + DPT/catMLP heads + fused MXU match+track.
+     The reference never recorded a number for this exact path; its closest
+     committed figure is the 0.185 FPS dynamic-pipeline log, so
+     `vs_baseline` against it OVERSTATES the speedup for this metric —
+     see `baseline_note` in the extras.
+  2. `monster_fps_512x384_vitl` (in extras + its own line) — the flagship
+     dynamic pipeline (main_monster_slam.py): MonST3R decode (X/C) + MASt3R
+     decode (D/Q) on shared encoder features, RAFT optical flow (20 GRU
+     iters), ego-motion-flow dynamic mask + native refiner, masked
+     match+track. This IS apples-to-apples with the reference's 0.185 FPS
+     (out/run_main_monster_slam_26155.out:1750).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Output protocol: EVERY completed measurement is printed immediately as a
+full JSON line ({"metric", "value", "unit", "vs_baseline", ...}) and
+flushed, so a relay stall or driver timeout still leaves the best completed
+number on stdout (round 2 lost its official record to exactly such a stall:
+BENCH_r02.json rc=124, parsed=null). A watchdog thread enforces a total
+budget (BENCH_BUDGET_S, default 540 s) and per-phase deadlines; on expiry
+it re-prints the best line and exits 0. The LAST line is the headline
+tracking metric with all stage timings in "extra".
+
+Timing: chained dispatches with one final host transfer per measurement
+(`jax.block_until_ready` returns early on this remote-TPU stack, see
+scripts/tpu_timeit.py). The monster path inherently syncs on the host every
+frame (flow/mask are host-side, as in the reference tracker2.py:79-122).
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
 import jax
@@ -28,43 +47,146 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_FPS = 0.185  # reference committed run logs (BASELINE.md)
+BASELINE_FPS = 0.185  # reference dynamic-pipeline committed run logs (BASELINE.md)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"
+
+_t_start = time.monotonic()
+_lock = threading.Lock()
+_best = None  # best completed headline record
+_extra = {}  # accumulated stage results
+
+
+def emit(metric, value, unit, vs_baseline, headline=False, **kw):
+    """Print one fully-formed JSON result line immediately (crash-safe)."""
+    global _best
+    rec = {
+        "metric": metric,
+        "value": round(float(value), 3),
+        "unit": unit,
+        "vs_baseline": round(float(vs_baseline), 2),
+    }
+    rec.update(kw)
+    with _lock:
+        if headline or _best is None:
+            _best = dict(rec)
+        print(json.dumps(rec), flush=True)
+    return rec
+
+
+def emit_final():
+    """Final line: the headline metric + everything measured, as `extra`."""
+    with _lock:
+        if _best is None:
+            return
+        rec = dict(_best)
+        rec["extra"] = dict(_extra)
+        print(json.dumps(rec), flush=True)
+
+
+class Watchdog:
+    """Budget enforcement: if the total budget expires or a phase exceeds its
+    deadline, print the best-so-far result and exit 0 (an artifact with a
+    partial number beats rc=124 with none)."""
+
+    def __init__(self):
+        self._phase_deadline = None
+        self._phase_name = ""
+        t = threading.Thread(target=self._run, daemon=True)
+        t.start()
+
+    def phase(self, name, seconds):
+        self._phase_name = name
+        self._phase_deadline = time.monotonic() + seconds
+
+    def clear(self):
+        self._phase_deadline = None
+
+    def _run(self):
+        while True:
+            time.sleep(2.0)
+            now = time.monotonic()
+            total_left = BUDGET_S - (now - _t_start)
+            phase_hit = (
+                self._phase_deadline is not None and now > self._phase_deadline
+            )
+            if total_left < 0 or phase_hit:
+                why = (
+                    f"phase '{self._phase_name}' deadline"
+                    if phase_hit
+                    else "total budget"
+                )
+                _extra["watchdog"] = f"expired: {why}"
+                emit_final()
+                os._exit(0)
+
+
+def chain_time(fn, n, warmup=2):
+    """Seconds/call over n chained calls + ONE final host transfer."""
+    def sync(o):
+        np.asarray(o[0] if isinstance(o, (tuple, list)) else o)
+
+    out = None
+    for k in range(warmup):
+        out = fn(k, out)
+    sync(out)
+    t0 = time.perf_counter()
+    for k in range(n):
+        out = fn(k, out)
+    sync(out)
+    return (time.perf_counter() - t0) / n
 
 
 def main():
+    wd = Watchdog()
     from monst3r_slam_tpu.models import mast3r as model_api
-    from monst3r_slam_tpu.models.config import MAST3R_512
+    from monst3r_slam_tpu.models.config import MAST3R_512, MONST3R_512, ModelConfig
+    from monst3r_slam_tpu.models.convert import cast_params_for_inference
     from monst3r_slam_tpu.models.init import init_params
     from monst3r_slam_tpu.ops import matching, matching_tiled
     from monst3r_slam_tpu.slam import tracker as tracker_mod
     from monst3r_slam_tpu.core import lie
 
-    h, w = 384, 512
+    if SMOKE:  # CPU plumbing test: tiny model, tiny frames
+        h, w = 64, 96
+        cfg = ModelConfig(
+            enc_depth=2, enc_dim=64, enc_heads=4, dec_depth=2, dec_dim=48,
+            dec_heads=4, feature_dim=32, last_dim=16, layer_dims=(16, 24, 32, 48),
+            desc_dim=8, two_confs=True,
+        )
+        mcfg_model = ModelConfig(
+            enc_depth=2, enc_dim=64, enc_heads=4, dec_depth=2, dec_dim=48,
+            dec_heads=4, feature_dim=32, last_dim=16, layer_dims=(16, 24, 32, 48),
+            desc_dim=None, two_confs=False,
+        )
+        n_track, n_monster = 3, 3
+    else:
+        h, w = 384, 512
+        cfg = MAST3R_512
+        mcfg_model = MONST3R_512
+        n_track, n_monster = 20, 8
     hw = h * w
-    cfg = MAST3R_512
-    n_h, n_w = h // cfg.patch_size, w // cfg.patch_size
+
     match_cfg = matching.MatchingConfig()
     tcfg = matching_tiled.TiledConfig()
     track_cfg = tracker_mod.TrackingConfig(Q_conf=-1e9, C_conf=-1e9, min_match_frac=0.0)
+    use_pallas = jax.default_backend() == "tpu"
 
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    wd.phase("init", 180)
+    params = cast_params_for_inference(init_params(jax.random.PRNGKey(0), cfg))
     key = jax.random.PRNGKey(1)
     img = jax.random.normal(key, (1, h, w, 3)) * 0.5
-
-    kf_X = jax.random.normal(key, (hw, 3)) + jnp.asarray([0.0, 0.0, 3.0])
-    kf_C = jnp.full((hw, 1), 2.0)
     T_WCk = lie.sim3_identity()
 
-    # Three dispatches per frame: encode | decode | match+track fused.
-    # (decode+match+track in ONE program times out the remote compiler; the
-    # per-dispatch overhead of this split is part of the honest cost.)
-    # encode/decode are the same staged programs the SLAM pipeline itself
-    # dispatches; match+track mirrors pipeline._match_track_and_update.
+    # --- Stage programs (the same staged programs the SLAM pipeline itself
+    # dispatches; decode+match+track in ONE program times out the remote
+    # compiler, so the 3-dispatch split is the honest production cost).
     @jax.jit
     def perturb(T_prev):
         return img + 1e-6 * T_prev[0]
 
-    use_pallas = jax.default_backend() == "tpu"
+    kf_X = jax.random.normal(key, (hw, 3)) + jnp.asarray([0.0, 0.0, 3.0])
+    kf_C = jnp.full((hw, 1), 2.0)
 
     @jax.jit
     def match_track(out, idx_prev, T_prev):
@@ -82,31 +204,155 @@ def main():
         ).T_WCf
         return T, idx_f2k
 
-    def frame_step(T_prev, idx_prev, kf_feat, kf_pos):
+    # --- 1a. encoder-only FPS (first number out as early as possible)
+    wd.phase("encode", 240)
+    kf_feat, kf_pos = model_api.encode(params, cfg, img)
+    np.asarray(kf_feat)
+
+    def enc_step(k, prev):
+        feat, _ = model_api.encode(params, cfg, img + 1e-6 * k)
+        return feat
+
+    dt = chain_time(enc_step, n_track)
+    _extra["encode_ms"] = round(dt * 1e3, 2)
+    emit("tracking_stage_encode_fps", 1.0 / dt, "frames/s", (1.0 / dt) / BASELINE_FPS,
+         note="partial: encoder only")
+
+    # --- 1b. encode+decode FPS
+    wd.phase("decode", 240)
+
+    def encdec_step(k, prev):
+        feat, pos = model_api.encode(params, cfg, img + 1e-6 * k)
+        out = model_api.decode(params, cfg, feat, pos, kf_feat, kf_pos, (h, w))
+        return out.X1
+
+    dt = chain_time(encdec_step, n_track)
+    _extra["encode_decode_ms"] = round(dt * 1e3, 2)
+    emit("tracking_stage_encode_decode_fps", 1.0 / dt, "frames/s",
+         (1.0 / dt) / BASELINE_FPS, note="partial: encoder + dual decoder + heads")
+
+    # --- 1c. full tracking frame step (HEADLINE)
+    wd.phase("tracking", 600 if use_pallas else 240)
+
+    def frame_step(k, prev):
+        if prev is None:
+            T_prev, idx_prev = T_WCk, jnp.arange(hw, dtype=jnp.int32)[None]
+        else:
+            T_prev, idx_prev = prev
         img_t = perturb(T_prev)
         feat, pos = model_api.encode(params, cfg, img_t)
         out = model_api.decode(params, cfg, feat, pos, kf_feat, kf_pos, (h, w))
         T, idx_f2k = match_track(out, idx_prev, T_prev)
         return T, idx_f2k
 
-    kf_feat, kf_pos = model_api.encode(params, cfg, img)
-    T, idx = frame_step(T_WCk, jnp.arange(hw, dtype=jnp.int32)[None], kf_feat, kf_pos)
-    np.asarray(T)  # force compile + first run
+    dt = chain_time(frame_step, n_track)
+    tracking_fps = 1.0 / dt
+    _extra["tracking_ms"] = round(dt * 1e3, 2)
+    _extra["baseline_note"] = (
+        "baseline 0.185 FPS is the reference's committed MonST3R dynamic-"
+        "pipeline log; the honest comparator for tracking_fps is reference "
+        "main.py, which has no committed figure. monster_fps is the "
+        "apples-to-apples comparison."
+    )
+    emit("tracking_fps_512x384_vitl", tracking_fps, "frames/s",
+         tracking_fps / BASELINE_FPS, headline=True)
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        T, idx = frame_step(T, idx, kf_feat, kf_pos)
-    np.asarray(T)  # force completion of the chained sequence
-    dt = (time.perf_counter() - t0) / n_iters
-    fps = 1.0 / dt
+    # --- 2. Flagship dynamic pipeline (main_monster_slam per-frame path)
+    wd.phase("monster_init", 600)
+    try:
+        from monst3r_slam_tpu.dynamic import mask as dyn
+        from monst3r_slam_tpu.dynamic import raft as raft_mod
+        from monst3r_slam_tpu.dynamic.refine import make_native_refiner
 
-    print(json.dumps({
-        "metric": "tracking_fps_512x384_vitl",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
-    }))
+        mparams = cast_params_for_inference(
+            init_params(jax.random.PRNGKey(7), mcfg_model)
+        )
+        raft_cfg = raft_mod.RAFTConfig(iters=4) if SMOKE else raft_mod.RAFTConfig()
+        raft_params = raft_mod.init_raft_params(jax.random.PRNGKey(8), raft_cfg)
+        flow_fn = raft_mod.make_raft_flow_estimator(raft_params, raft_cfg)
+        refiner = make_native_refiner()
+
+        rng = np.random.default_rng(0)
+        base_u8 = rng.integers(0, 255, (h, w, 3), np.uint8)
+        K = jnp.asarray(
+            [[0.6 * w, 0.0, w / 2.0], [0.0, 0.6 * w, h / 2.0], [0.0, 0.0, 1.0]],
+            jnp.float32,
+        )
+
+        def make_uimg(k):
+            # camera pan (global shift) + an independently moving block
+            u = np.roll(base_u8, k * 2, axis=1).copy()
+            y0, x0 = h // 3, (w // 4 + k * 5) % (w - 40)
+            u[y0 : y0 + 32, x0 : x0 + 32] = (255 - u[y0 : y0 + 32, x0 : x0 + 32])
+            return u
+
+        uimgs = [make_uimg(k) for k in range(n_monster + 3)]
+        imgs = [
+            jnp.asarray((u.astype(np.float32) / 255.0 - 0.5) / 0.5)[None]
+            for u in uimgs
+        ]
+
+        def monster_step(k, prev):
+            """Per-frame work of main_monster_slam's TRACKING path
+            (app/pipeline.py:699-868 with `dual` installed): encode ->
+            MonST3R decode (X/C) + MASt3R decode (D/Q) -> RAFT flow +
+            ego-flow dynamic mask (host) -> refine -> masked match+track."""
+            if prev is None:
+                T_prev, idx_prev = T_WCk, jnp.arange(hw, dtype=jnp.int32)[None]
+            else:
+                T_prev, idx_prev = prev
+            img_t = imgs[k % len(imgs)]
+            uimg_t = uimgs[k % len(uimgs)]
+            uimg_k = uimgs[(k + 1) % len(uimgs)]
+            feat, pos = model_api.encode(mparams, mcfg_model, img_t)
+            out_m = model_api.decode(
+                mparams, mcfg_model, feat, pos, kf_feat_m, kf_pos_m, (h, w)
+            )
+            out_a = model_api.decode(
+                params, cfg, feat, pos, kf_feat_m, kf_pos_m, (h, w)
+            )
+            out = model_api.PairOutput(
+                X1=out_m.X1, C1=out_m.C1, D1=out_a.D1, Q1=out_a.Q1,
+                X2=out_m.X2, C2=out_m.C2, D2=out_a.D2, Q2=out_a.Q2,
+            )
+            # host-side dynamic mask (flow backend = JAX RAFT, 20 iters)
+            dyn.set_flow_estimator(flow_fn)
+            m = dyn.get_dynamic_mask(
+                uimg_t, uimg_k, T_prev, T_WCk, out.X1[0, ..., 2], K,
+                threshold=0.35, refine=True,
+            )
+            if m.any():
+                mask_flat = jnp.asarray(m.reshape(-1))
+                _, C1m, D1m, Q1m = dyn.apply_dynamic_mask_to_pointmaps(
+                    out.X1.reshape(hw, 3), out.C1.reshape(hw, 1),
+                    out.D1.reshape(hw, -1), out.Q1.reshape(hw, 1), mask_flat,
+                )
+                out = out._replace(
+                    C1=C1m.reshape(out.C1.shape),
+                    D1=D1m.reshape(out.D1.shape),
+                    Q1=Q1m.reshape(out.Q1.shape),
+                )
+            T, idx_f2k = match_track(out, idx_prev, T_prev)
+            return T, idx_f2k
+
+        kf_feat_m, kf_pos_m = model_api.encode(mparams, mcfg_model, imgs[-1])
+        np.asarray(kf_feat_m)
+        wd.phase("monster", 600)
+        dt = chain_time(monster_step, n_monster)
+        monster_fps = 1.0 / dt
+        _extra["monster_ms"] = round(dt * 1e3, 2)
+        _extra["monster_fps"] = round(monster_fps, 3)
+        emit("monster_fps_512x384_vitl", monster_fps, "frames/s",
+             monster_fps / BASELINE_FPS,
+             note="flagship dynamic pipeline: dual decode + RAFT flow + "
+                  "dynamic mask + refine + match+track; apples-to-apples "
+                  "with the 0.185 FPS reference log")
+    except Exception as e:  # the tracking headline must survive any monster failure
+        _extra["monster_error"] = f"{type(e).__name__}: {e}"
+        print(f"monster stage failed: {e!r}", file=sys.stderr, flush=True)
+
+    wd.clear()
+    emit_final()
 
 
 if __name__ == "__main__":

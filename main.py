@@ -77,6 +77,14 @@ def main():
         params = init_params(jax.random.PRNGKey(args.seed), model_cfg)
         print("WARNING: checkpoint not found — using random weights")
 
+    if config.get("bf16_params", True):
+        # Store matmul/conv weights in bf16: compute already runs bf16, so
+        # numerics are unchanged while weight HBM traffic halves (the
+        # dominant stream at batch 1).
+        from monst3r_slam_tpu.models.convert import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
+
     K = None
     if config.get("use_calib", False) and dataset.has_calib():
         K = np.asarray(dataset.camera_intrinsics.K_frame, np.float32)
@@ -95,7 +103,10 @@ def main():
         # No pretrained codebook: bootstrap one by k-means over the first
         # keyframes' own features (far better cell occupancy than a random
         # Gaussian codebook; see ASMKDatabase docstring).
-        retr_db = retrieval_mod.ASMKDatabase(None, n_words=1024)
+        retr_db = retrieval_mod.ASMKDatabase(
+            None, n_words=1024,
+            use_idf=bool(config.get("retrieval", {}).get("use_idf", False)),
+        )
 
     slam = SLAMSystem(
         params=params,
@@ -126,6 +137,9 @@ def main():
         timestamp, img = dataset[i]
         out = resize_img(img, dataset.img_size)
         slam.process_frame(i, timestamp, out["img"][0], uimg=out["unnormalized_img"])
+        if slam.terminate_requested:  # viewer 'terminate' control (WindowMsg parity)
+            print("terminated from viewer")
+            break
         if i % 30 == 0 and i > 0:
             fps = i / (time.time() - t0)
             print(f"frame {i}/{n}  FPS: {fps:.3f}  keyframes: {int(slam.mem.count)}")

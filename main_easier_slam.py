@@ -101,6 +101,13 @@ def main():
     easi_params, easi_cfg = load_or_random(
         args.easi3r_checkpoint, MONST3R_512, args.seed + 1
     )
+    if config.get("bf16_params", True):
+        # bf16 weight storage: compute already runs bf16; halves weight HBM
+        # traffic (see models/convert.cast_params_for_inference).
+        from monst3r_slam_tpu.models.convert import cast_params_for_inference
+
+        mast3r_params = cast_params_for_inference(mast3r_params)
+        easi_params = cast_params_for_inference(easi_params)
     ep = EasiParams(easi_params, easi_cfg, mast3r_params, mast3r_cfg,
                     k_mad=args.k_mad)
 
@@ -113,7 +120,10 @@ def main():
     )
     # No pretrained codebook by default: bootstrap one by k-means over the
     # first keyframes' own features (see ASMKDatabase docstring).
-    retr_db = retrieval_mod.ASMKDatabase(None, n_words=1024)
+    retr_db = retrieval_mod.ASMKDatabase(
+            None, n_words=1024,
+            use_idf=bool(config.get("retrieval", {}).get("use_idf", False)),
+        )
     rp = pathlib.Path(args.retrieval_checkpoint) if args.retrieval_checkpoint else None
     if rp and rp.is_file():
         retr_params, _ = retrieval_mod.retrieval_params_from_checkpoint(str(rp))
@@ -151,6 +161,9 @@ def main():
         timestamp, img = dataset[i]
         out = resize_img(img, dataset.img_size)
         slam.process_frame(i, timestamp, out["img"][0], uimg=out["unnormalized_img"])
+        if slam.terminate_requested:  # viewer 'terminate' control (WindowMsg parity)
+            print("terminated from viewer")
+            break
         if i % 30 == 0 and i > 0:
             fps = i / (time.time() - t0)
             print(f"frame {i}/{n}  FPS: {fps:.3f}  keyframes: {int(slam.mem.count)}")

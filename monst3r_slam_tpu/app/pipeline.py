@@ -251,6 +251,13 @@ def _match_track_and_update(
     return outs + (idx_f2k, valid_match_k)
 
 
+@partial(jax.jit, static_argnames=("P",))
+def _snap_slice(x, P: int):
+    """First-P slice that always materializes a NEW buffer (jit outputs never
+    alias non-donated inputs), safe to hand to the async backend worker."""
+    return jax.lax.slice_in_dim(x, 0, P, axis=0)
+
+
 @dataclasses.dataclass
 class SLAMSystem:
     """Holds model params + SLAM state and drives per-frame processing."""
@@ -303,6 +310,15 @@ class SLAMSystem:
         self.use_dynamic_mask = bool(self.cfg.get("use_dynamic_mask", False))
         self.dyn_threshold = float(self.cfg.get("dynamic_mask_threshold", 0.35))
         self.dyn_refine = bool(self.cfg.get("refine_dynamic_mask_with_sam2", False))
+        # Temporal propagation: the reference's SAM2 stage is a VIDEO
+        # predictor that carries object masks across frames
+        # (monst3r_utils.py:640-703); the native equivalent flow-warps the
+        # previous refined mask forward (dynamic/refine.py).
+        self._mask_propagator = None
+        if self.dyn_refine and bool(self.cfg.get("temporal_mask_propagation", True)):
+            from monst3r_slam_tpu.dynamic.refine import TemporalMaskPropagator
+
+            self._mask_propagator = TemporalMaskPropagator()
         self.kf_uimgs: List[Optional[np.ndarray]] = []  # host uint8 keyframe images
         self.kf_dyn_masks: List[Optional[np.ndarray]] = []  # per-keyframe dynamic masks
         self.cur_uimg: Optional[np.ndarray] = None
@@ -315,10 +331,15 @@ class SLAMSystem:
         self.single_thread = bool(self.cfg.get("single_thread", True))
         self.backend_stall_s = 0.0  # main-thread time blocked on backend work
         self._last_viz_push = 0.0
+        # Viewer control channel (reference WindowMsg, visualization.py:33-39)
+        self.terminate_requested = False
+        self.viz_C_conf = float(self.cfg.get("C_conf", 1.5))  # display filter
+        self._last_dyn_mask: Optional[np.ndarray] = None
         self._retr_lock = threading.Lock()
         self._graph_lock = threading.Lock()
         self._backend_jobs: queue.Queue = queue.Queue()
         self._backend_results: queue.Queue = queue.Queue()
+        self._async_errors: List[BaseException] = []  # worker exceptions, re-raised on main thread
         self._worker: Optional[threading.Thread] = None
         if not self.single_thread:
             self._worker = threading.Thread(
@@ -492,8 +513,27 @@ class SLAMSystem:
         import numpy as np
 
         n = int(self.mem.count)
+        h, w = self.img_size
+        # Host-side per-keyframe state (uimg colors the PLY export, dyn_masks
+        # gate the keyframe side of dynamic matching) — losing them on resume
+        # degrades exports to gray and drops keyframe-side masking.
+        uimg = np.zeros((n, h, w, 3), np.uint8)
+        uimg_valid = np.zeros((n,), bool)
+        dyn = np.zeros((n, h, w), bool)
+        dyn_valid = np.zeros((n,), bool)
+        for i in range(min(n, len(self.kf_uimgs))):
+            if self.kf_uimgs[i] is not None:
+                uimg[i] = np.asarray(self.kf_uimgs[i], np.uint8).reshape(h, w, 3)
+                uimg_valid[i] = True
+            if self.kf_dyn_masks[i] is not None:
+                dyn[i] = np.asarray(self.kf_dyn_masks[i], bool).reshape(h, w)
+                dyn_valid[i] = True
         np.savez_compressed(
             path,
+            kf_uimg=uimg,
+            kf_uimg_valid=uimg_valid,
+            kf_dyn_mask=dyn,
+            kf_dyn_mask_valid=dyn_valid,
             kf_frame_id=np.asarray(self.mem.frame_id[:n]),
             kf_T_WC=np.asarray(self.mem.T_WC[:n]),
             kf_X=np.asarray(self.mem.X_canon[:n]),
@@ -545,6 +585,14 @@ class SLAMSystem:
         self.frame_ids = [int(i) for i in data["frame_ids"]]
         self.mode = Mode(int(data["mode"]))
         self.last_T_WC = data["last_T_WC"]
+        self.kf_uimgs = [None] * n
+        self.kf_dyn_masks = [None] * n
+        if "kf_uimg" in data:  # checkpoints written before host state was saved
+            for i in range(n):
+                if data["kf_uimg_valid"][i]:
+                    self.kf_uimgs[i] = data["kf_uimg"][i]
+                if data["kf_dyn_mask_valid"][i]:
+                    self.kf_dyn_masks[i] = data["kf_dyn_mask"][i]
 
     def backend_step(self, kf_idx: int, frame: Frame):
         """Graph construction for a new keyframe: consecutive + retrieval
@@ -562,9 +610,14 @@ class SLAMSystem:
             return
         n_kf = int(self.mem.count)
         P = min(_next_pow2(n_kf), self.mem.capacity)
+        # _snap_slice, not `[:P]`: when P == capacity a trivial slice ALIASES
+        # the live buffer, which the tracker donates every frame — the worker
+        # would then Execute() on a deleted buffer (race found by the async
+        # error surfacing; round-2 print-and-continue silently dropped the
+        # affected solves).
         snap = (
-            self.mem.T_WC[:P],
-            self.mem.X_canon[:P],
+            _snap_slice(self.mem.T_WC, P),
+            _snap_slice(self.mem.X_canon, P),
             self.mem.C[:P]
             / jnp.maximum(self.mem.N[:P, None, None].astype(jnp.float32), 1.0),
             n_kf,
@@ -604,16 +657,24 @@ class SLAMSystem:
                 return
             try:
                 self._backend_job_body(*job)
-            except Exception:  # keep the loop alive; surface the failure
+            except Exception as e:  # keep the loop alive; re-raise on main
                 import traceback
 
                 traceback.print_exc()
+                # A poisoned backend job would otherwise silently degrade
+                # mapping quality; surface it on the next process_frame.
+                self._async_errors.append(e)
             finally:
                 self._backend_jobs.task_done()
 
     def _apply_backend_results(self) -> bool:
         """Fold finished async solves into live keyframe poses (the
-        reference's shared-memory write-back, frame.py:362)."""
+        reference's shared-memory write-back, frame.py:362); re-raise any
+        backend-worker exception on the main thread."""
+        if self._async_errors:
+            exc = self._async_errors[0]
+            self._async_errors = []
+            raise RuntimeError("async backend worker failed") from exc
         applied = False
         while True:
             try:
@@ -674,7 +735,36 @@ class SLAMSystem:
     # Main per-frame step
     # ------------------------------------------------------------------
 
+    def _consume_viewer_control(self):
+        """Apply pending viewer control messages between frames (the
+        reference's viz2main WindowMsg queue, visualization.py:355-361 +
+        main.py pause/reloc handling)."""
+        if (
+            self.viewer is None
+            or not hasattr(self.viewer, "poll_control")
+            or self.terminate_requested  # a paused viewer must not block shutdown
+        ):
+            return
+        while True:
+            msg = self.viewer.poll_control()
+            if msg.get("C_conf") is not None:
+                self.viz_C_conf = float(msg["C_conf"])
+            if msg.get("terminate"):
+                self.terminate_requested = True
+                return
+            if msg.get("reloc") and self.mode == Mode.TRACKING:
+                self.mode = Mode.RELOC
+                self.idx_f2k = None
+                if self._mask_propagator is not None:
+                    self._mask_propagator.reset()
+            if not msg.get("pause") or msg.get("step"):
+                return
+            time.sleep(0.05)  # paused: hold between frames until resume/step
+
     def process_frame(self, frame_id: int, timestamp, img_np: np.ndarray, uimg=None):
+        self._consume_viewer_control()
+        if self.terminate_requested:
+            return
         self._apply_backend_results()  # async pose write-back between frames
         self.timestamps.append(timestamp)
         self.cur_uimg = uimg
@@ -727,8 +817,14 @@ class SLAMSystem:
                 m = dyn.get_dynamic_mask(
                     uimg, kf_uimg, frame.T_WC, kf.T_WC, depth_i, self.K,
                     threshold=self.dyn_threshold, refine=self.dyn_refine,
+                    refiner=(
+                        self._mask_propagator.as_refiner()
+                        if self._mask_propagator is not None
+                        else None
+                    ),
                 )
                 cur_dyn_mask = m
+                self._last_dyn_mask = m
                 # Debug overlay (tracker2.py:132-157; same config key, same
                 # default-on behavior, same logs/ layout).
                 if self.cfg.get("debug_save_dynamic_mask", True):
@@ -908,6 +1004,8 @@ class SLAMSystem:
         if bool(res.low_match) or bool(res.solver_failed):
             self.mode = Mode.RELOC
             self.idx_f2k = None
+            if self._mask_propagator is not None:
+                self._mask_propagator.reset()  # stale masks must not seed post-reloc frames
             self._record_pose(frame_id, jnp.asarray(self.last_T_WC))
             return
 
@@ -966,9 +1064,13 @@ class SLAMSystem:
         N_ = np.maximum(np.asarray(self.mem.N[:n])[:, None], 1.0)
         T = np.asarray(self.mem.T_WC[:n])
         cols = self.keyframe_colors()[:, ::stride]
+        if self.cur_uimg is not None and hasattr(self.viewer, "update_frame"):
+            # input-frame strip with the dynamic mask tinted (reference
+            # visualization.py:118-126 overlay)
+            self.viewer.update_frame(self.cur_uimg, self._last_dyn_mask)
         pts, rgb = [], []
         for i in range(n):
-            keep = (C[i] / N_[i]) > 1.5
+            keep = (C[i] / N_[i]) > self.viz_C_conf  # slider-controlled filter
             Xw = np.asarray(lie.sim3_act(T[i], X[i]))
             pts.append(Xw[keep])
             rgb.append(cols[i][keep])

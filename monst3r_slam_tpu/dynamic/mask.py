@@ -149,11 +149,15 @@ def get_dynamic_mask(
     threshold: float = 0.35,
     refine: bool = False,
     min_area: int = 20,
+    refiner: Optional[Callable] = None,
 ) -> np.ndarray:
     """Full dynamic-mask pipeline for a frame pair. Returns bool (h, w).
 
     Requires calibration K (the reference returns an empty mask without it,
-    monst3r_utils.py:538-541).
+    monst3r_utils.py:538-541). `refiner` overrides the installed/default
+    refinement stage — e.g. a `TemporalMaskPropagator.as_refiner()` that
+    carries masks across frames (then it must also be called on mask-empty
+    frames, so the temporal state keeps advancing).
     """
     h, w = img_i_u8.shape[:2]
     if K is None:
@@ -162,8 +166,9 @@ def get_dynamic_mask(
     ego = np.asarray(ego_motion_flow(T_WCi, T_WCj, depth_i, K))
     err_norm = np.asarray(flow_error_map(jnp.asarray(flow), jnp.asarray(ego)))
     mask = err_norm > threshold
-    if refine and mask.any():
-        refiner = _mask_refiner
+    if refine and (mask.any() or refiner is not None):
+        if refiner is None:
+            refiner = _mask_refiner
         if refiner is None:
             from monst3r_slam_tpu.dynamic.refine import make_native_refiner
 

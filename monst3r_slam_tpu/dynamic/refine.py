@@ -139,3 +139,110 @@ def make_native_refiner(use_grabcut: bool = True, low_ratio: float = 0.45):
         )
 
     return refiner
+
+
+# ---------------------------------------------------------------------------
+# Temporal mask propagation (the SAM2 *video* predictor's actual trick)
+# ---------------------------------------------------------------------------
+
+
+def forward_warp_mask(mask: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Splat a bool mask (h, w) forward along flow (h, w, 2) into the next
+    frame; morphological closing fills splat holes. Host-side, tiny arrays."""
+    from scipy import ndimage
+
+    h, w = mask.shape
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return np.zeros_like(mask)
+    u = flow[ys, xs, 0]
+    v = flow[ys, xs, 1]
+    xn = np.clip(np.rint(xs + u).astype(np.int64), 0, w - 1)
+    yn = np.clip(np.rint(ys + v).astype(np.int64), 0, h - 1)
+    out = np.zeros((h, w), bool)
+    out[yn, xn] = True
+    return ndimage.binary_closing(out, structure=np.ones((3, 3), bool))
+
+
+class TemporalMaskPropagator:
+    """Carry each frame's refined dynamic mask into the next frame.
+
+    The reference seeds a SAM2 *video* predictor and propagates object masks
+    through time (`monst3r_utils.py:640-703`, `build_sam2_video_predictor`
+    :785); per-frame thresholding alone flickers whenever an object's flow
+    error momentarily dips below threshold. This native equivalent:
+
+      1. flow-warps the previous refined mask into the current frame
+         (`forward_warp_mask`),
+      2. lowers the evidence bar on carried pixels: a warped-mask pixel stays
+         dynamic if its current flow error clears `carry_ratio * threshold`
+         (temporal hysteresis), and
+      3. feeds the union (fresh raw mask | carried support) through the
+         per-frame refiner (hysteresis growth + GrabCut).
+
+    A mask that finds no fresh above-threshold evidence at all for
+    `max_coast` consecutive frames is dropped — objects that stop moving
+    return to the static set, as with SAM2's per-frame re-scoring.
+    """
+
+    def __init__(self, carry_ratio: float = 0.5, max_coast: int = 2):
+        self.carry_ratio = carry_ratio
+        self.max_coast = max_coast
+        self.prev_mask: Optional[np.ndarray] = None
+        self.prev_img: Optional[np.ndarray] = None
+        self._coast = 0
+
+    def reset(self):
+        self.prev_mask = None
+        self.prev_img = None
+        self._coast = 0
+
+    def __call__(
+        self,
+        img_u8: np.ndarray,
+        err_norm: np.ndarray,
+        raw_mask: np.ndarray,
+        threshold: float,
+        min_area: int,
+        flow_fn=None,
+        use_grabcut: bool = True,
+    ) -> np.ndarray:
+        carried = None
+        if self.prev_mask is not None and self.prev_mask.any():
+            if flow_fn is None:
+                from monst3r_slam_tpu.dynamic.mask import compute_flow as flow_fn
+            flow = np.asarray(flow_fn(self.prev_img, img_u8), np.float32)
+            warped = forward_warp_mask(self.prev_mask, flow)
+            carried = warped & (err_norm > self.carry_ratio * threshold)
+
+        seeds = np.asarray(raw_mask, bool)
+        if carried is not None:
+            seeds = seeds | carried
+        refined = refine_dynamic_mask(
+            img_u8, err_norm, seeds,
+            threshold=threshold, min_area=min_area, use_grabcut=use_grabcut,
+        )
+        if carried is not None and refined.any():
+            refined |= carried  # carried support survives even if GrabCut trims it
+
+        # Coast bookkeeping: no fresh evidence for max_coast frames -> drop
+        if np.asarray(raw_mask, bool).any():
+            self._coast = 0
+        else:
+            self._coast += 1
+            if self._coast > self.max_coast:
+                refined = np.zeros_like(refined)
+        self.prev_mask = refined.copy()
+        self.prev_img = np.asarray(img_u8).copy()
+        return refined
+
+    def as_refiner(self, flow_fn=None, use_grabcut: bool = True):
+        """Adapter for dynamic.mask.set_mask_refiner / get_dynamic_mask."""
+
+        def refiner(img_u8, err_norm, raw_mask, threshold, min_area):
+            return self(
+                img_u8, err_norm, raw_mask, threshold, min_area,
+                flow_fn=flow_fn, use_grabcut=use_grabcut,
+            )
+
+        return refiner

@@ -183,6 +183,7 @@ class ASMKDatabase:
         n_words: int = 1024,
         dim: int = 64,
         bootstrap_frames: int = 5,
+        use_idf: bool = False,
     ):
         """With `centroids=None` the codebook is BOOTSTRAPPED: features of
         the first `bootstrap_frames` keyframes are buffered, k-means fits the
@@ -196,6 +197,12 @@ class ASMKDatabase:
         self.ma_build = ma_build
         self.ma_query = ma_query
         self.bootstrap_frames = bootstrap_frames
+        # Optional IDF weighting (asmk inverted_file idf option; the
+        # reference's processor runs without it, processor.py:91-97):
+        # down-weights "stopword" visual words that appear in most images.
+        # Incremental DB, so idf and image norms are recomputed per query
+        # from the current word->image counts.
+        self.use_idf = use_idf
         self._pending: List[np.ndarray] = []
         if centroids is not None:
             self._set_centroids(np.asarray(centroids, np.float32))
@@ -212,6 +219,8 @@ class ASMKDatabase:
         self.ivf_vecs: List[Optional[np.ndarray]] = [None] * self.n_words
         self.ivf_imids: List[Optional[np.ndarray]] = [None] * self.n_words
         self.counts = np.zeros(self.n_words, np.int64)
+        self.word_imgs = np.zeros(self.n_words, np.int64)  # images per word
+        self.image_words: List[np.ndarray] = []  # words per image (for idf norms)
 
     def quantize(self, vecs: np.ndarray, k: int) -> np.ndarray:
         """Top-k nearest centroids by L2 (retrieval_database.py:96-105)."""
@@ -232,23 +241,41 @@ class ASMKDatabase:
             ades[i] = (vecs[members] - self.centroids[word]).sum(0)
         return binarize_and_pack(ades), unique
 
+    def _idf(self) -> np.ndarray:
+        """Per-word idf² weights from current word->image counts
+        (asmk inverted_file idf semantics; squared ln, smoothed)."""
+        N = max(self.kf_counter, 1)
+        return np.log((N + 1.0) / (self.word_imgs + 1.0)) ** 2
+
     def query(self, vecs: np.ndarray) -> np.ndarray:
-        """Scores against all stored images (inverted_file.py:86-107, no idf)."""
+        """Scores against all stored images (inverted_file.py:86-107;
+        optional idf weighting, see __init__)."""
         words = self.quantize(vecs, self.ma_query)
         agg, unique = self._aggregate(vecs, words)
         scores = np.zeros(self.kf_counter)
+        if self.use_idf:
+            idf = self._idf()
+            # image norms recomputed under current idf so cosine-style
+            # normalization stays consistent as the DB grows
+            norm_factor = np.asarray(
+                [max(idf[w].sum(), 1e-12) for w in self.image_words]
+            )
+        else:
+            idf = None
+            norm_factor = self.norm_factor
         q_norm = 0.0
         for qvec, word in zip(agg, unique):
-            q_norm += 1.0
-            if self.ivf_imids[word] is None:
+            w_weight = 1.0 if idf is None else float(idf[word])
+            q_norm += w_weight
+            if self.ivf_imids[word] is None or w_weight <= 0.0:
                 continue
             n = self.counts[word]
             sim = hamming_sim_packed(qvec, self.ivf_vecs[word][:n], self.dim)
             imids = self.ivf_imids[word][:n]
             mask = sim >= self.similarity_threshold
-            sim = np.power(sim[mask], self.alpha)
+            sim = w_weight * np.power(sim[mask], self.alpha)
             imids = imids[mask]
-            sim /= np.sqrt(self.norm_factor[imids])
+            sim /= np.sqrt(norm_factor[imids])
             np.add.at(scores, imids, sim)
         return scores / np.sqrt(max(q_norm, 1e-12))
 
@@ -270,6 +297,8 @@ class ASMKDatabase:
             self.ivf_imids[word][n] = imid
             self.counts[word] += 1
             self.norm_factor[imid] += 1.0
+            self.word_imgs[word] += 1
+        self.image_words.append(unique.copy())
         self.kf_counter += 1
 
     def update(self, feat: np.ndarray, add_after_query: bool, k: int, min_thresh: float = 0.0):

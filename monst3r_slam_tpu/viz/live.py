@@ -13,6 +13,14 @@ Binary snapshot layout (little-endian):
   f32 points[n_points*3], u8 colors[n_points*3],
   f32 traj[n_traj*3], f32 kf[n_kf*3], f32 segs[n_seg*6]
 (kf = keyframe center markers; segs = frustum line segments)
+
+Control channel (the reference's `WindowMsg` feedback path,
+`visualization.py:33-39,355-361`): the page POSTs JSON to `/control`
+(pause/unpause, single-step, C_conf display threshold, relocalization
+request, terminate); the SLAM loop consumes it between frames via
+`poll_control()`. `/frame.bin` streams the latest input frame with the
+dynamic mask composited (the reference's dynamic-mask overlay,
+`visualization.py:118-126,334-344`).
 """
 
 from __future__ import annotations
@@ -28,8 +36,18 @@ import numpy as np
 _PAGE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>monst3r-slam-tpu live</title>
 <style>body{margin:0;background:#111;color:#9a9;font:12px monospace}
-#hud{position:fixed;top:6px;left:8px}</style></head>
+#hud{position:fixed;top:6px;left:8px}
+#ctrl{position:fixed;bottom:8px;left:8px}
+#ctrl button{background:#233;color:#9a9;border:1px solid #465;margin-right:4px;
+font:12px monospace;cursor:pointer}
+#fr{position:fixed;top:6px;right:8px;border:1px solid #465}</style></head>
 <body><canvas id="c"></canvas><div id="hud">connecting...</div>
+<canvas id="fr" width="0" height="0"></canvas>
+<div id="ctrl">
+<button id="bpause">pause</button><button id="bstep">step</button>
+<button id="breloc">reloc</button><button id="bterm">terminate</button>
+C_conf <input id="cconf" type="range" min="0" max="10" step="0.1" value="1.5">
+<span id="cval">1.5</span></div>
 <script>
 const canvas = document.getElementById('c');
 const hud = document.getElementById('hud');
@@ -132,8 +150,37 @@ async function poll() {
       hud.textContent = `update ${seq}: ${np_} pts, ${nk} keyframes, ${nt} poses`;
     }
   } catch (e) { hud.textContent = 'stream lost: ' + e; }
+  try {
+    const r = await fetch('/frame.bin', {cache: 'no-store'});
+    const buf = await r.arrayBuffer();
+    if (buf.byteLength >= 8) {
+      const wh = new Uint32Array(buf, 0, 2);
+      const fr = document.getElementById('fr');
+      if (fr.width !== wh[0]) { fr.width = wh[0]; fr.height = wh[1]; }
+      const rgb = new Uint8Array(buf, 8);
+      const id = new ImageData(wh[0], wh[1]);
+      for (let i = 0, j = 0; i < rgb.length; i += 3, j += 4) {
+        id.data[j] = rgb[i]; id.data[j+1] = rgb[i+1];
+        id.data[j+2] = rgb[i+2]; id.data[j+3] = 255;
+      }
+      fr.getContext('2d').putImageData(id, 0, 0);
+    }
+  } catch (e) {}
   setTimeout(poll, 1000);
 }
+let paused = false;
+function post(obj) { fetch('/control', {method: 'POST', body: JSON.stringify(obj)}); }
+document.getElementById('bpause').onclick = e => {
+  paused = !paused; e.target.textContent = paused ? 'resume' : 'pause';
+  post({pause: paused});
+};
+document.getElementById('bstep').onclick = () => post({step: true});
+document.getElementById('breloc').onclick = () => post({reloc: true});
+document.getElementById('bterm').onclick = () => post({terminate: true});
+document.getElementById('cconf').oninput = e => {
+  document.getElementById('cval').textContent = e.target.value;
+  post({C_conf: parseFloat(e.target.value)});
+};
 poll();
 </script></body></html>
 """
@@ -147,9 +194,66 @@ class LiveViewer:
     def __init__(self):
         self._lock = threading.Lock()
         self._blob = _EMPTY
+        self._frame_blob = b""
         self._seq = 0
         self._server: Optional[socketserver.TCPServer] = None
         self.port: Optional[int] = None
+        # Control state (WindowMsg parity, visualization.py:33-39):
+        # `pause` and `C_conf` are persistent; `step`/`reloc`/`terminate`
+        # are one-shots consumed by poll_control().
+        self._ctrl = {"pause": False, "C_conf": None}
+        self._ctrl_once = {"step": False, "reloc": False, "terminate": False}
+
+    # -- control channel ---------------------------------------------------
+
+    def push_control(self, msg: dict):
+        """Merge a control message (from /control or tests)."""
+        with self._lock:
+            for k in ("pause",):
+                if k in msg:
+                    self._ctrl[k] = bool(msg[k])
+            if "C_conf" in msg:
+                try:
+                    self._ctrl["C_conf"] = float(msg["C_conf"])
+                except (TypeError, ValueError):
+                    pass
+            for k in self._ctrl_once:
+                if msg.get(k):
+                    self._ctrl_once[k] = True
+
+    def poll_control(self) -> dict:
+        """Current control state; one-shot flags are cleared on read."""
+        with self._lock:
+            out = dict(self._ctrl)
+            out.update(self._ctrl_once)
+            for k in self._ctrl_once:
+                self._ctrl_once[k] = False
+        return out
+
+    # -- frame overlay stream ---------------------------------------------
+
+    def update_frame(
+        self,
+        img_u8: np.ndarray,  # (h, w, 3) uint8
+        dyn_mask: Optional[np.ndarray] = None,  # (h, w) bool
+        max_w: int = 320,
+    ):
+        """Publish the current input frame with the dynamic mask tinted red
+        (the reference's dynamic-mask overlay, visualization.py:118-126)."""
+        img = np.asarray(img_u8, np.uint8)
+        if img.ndim != 3 or img.shape[-1] != 3:
+            return
+        if dyn_mask is not None and dyn_mask.shape == img.shape[:2]:
+            img = img.copy()
+            m = np.asarray(dyn_mask, bool)
+            img[m] = (0.45 * img[m] + np.asarray([140.0, 0.0, 0.0])).astype(
+                np.uint8
+            )
+        stride = max(1, img.shape[1] // max_w)
+        img = np.ascontiguousarray(img[::stride, ::stride])
+        blob = struct.pack("<2I", img.shape[1], img.shape[0]) + img.tobytes()
+        with self._lock:
+            self._frame_blob = blob
 
     @staticmethod
     def frustum_segments(kf_poses: np.ndarray, size: float = 0.1) -> np.ndarray:
@@ -241,9 +345,13 @@ class LiveViewer:
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):
-                if self.path == "/state.bin":
+                if self.path in ("/state.bin", "/frame.bin"):
                     with viewer._lock:
-                        blob = viewer._blob
+                        blob = (
+                            viewer._blob
+                            if self.path == "/state.bin"
+                            else viewer._frame_blob
+                        )
                     self.send_response(200)
                     self.send_header("Content-Type", "application/octet-stream")
                     self.send_header("Content-Length", str(len(blob)))
@@ -256,6 +364,25 @@ class LiveViewer:
                     self.send_header("Content-Length", str(len(page)))
                     self.end_headers()
                     self.wfile.write(page)
+
+            def do_POST(self):
+                if self.path == "/control":
+                    import json
+
+                    n = int(self.headers.get("Content-Length", 0) or 0)
+                    try:
+                        msg = json.loads(self.rfile.read(n) or b"{}")
+                        viewer.push_control(msg)
+                        code = 200
+                    except (ValueError, TypeError):
+                        code = 400
+                    self.send_response(code)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                else:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
 
             def log_message(self, *a):  # quiet
                 pass

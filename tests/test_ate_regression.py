@@ -218,3 +218,178 @@ def test_oracle_renders_consistent_geometry():
         lie.sim3_act(lie.sim3_inv(jnp.asarray(gt[2])), jnp.asarray(Xj_w))
     )
     np.testing.assert_allclose(X_back, Xj_cam, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial harness (VERDICT r2 item 5): noise + outliers + a revisit loop
+# that exercises retrieval / loop closure, and a forced tracking break that
+# exercises RELOC — asserting the backend measurably reduces ATE.
+# ---------------------------------------------------------------------------
+
+
+class NoisyOracleSLAM(OracleSLAM):
+    """Oracle SLAM with adversarial observations:
+
+    * depth noise on every pointmap (multiplicative, ~1%)
+    * 6% gross outlier pixels (depth scaled 0.5-2x) at NORMAL confidence —
+      only the Huber weights can reject them
+    * confidence drawn U(1, 3) instead of constant (stresses the C/Q gates)
+    * descriptor noise + renormalization
+    * pose-dependent encoder features (random Fourier features of the GT
+      camera pose), so ASMK retrieval is driven by real similarity instead
+      of exact descriptors
+    * optional per-frame geometry corruption (`break_frames`) to force a
+      tracking loss -> RELOC.
+    """
+
+    def __post_init__(self):
+        super().__post_init__()
+        self._noise = np.random.default_rng(7)
+        self.break_frames = set()
+        rng = np.random.default_rng(5)
+        self._feat_W = rng.normal(size=(8, self.model_cfg.enc_dim)) * 2.0
+        self._feat_B = rng.uniform(0, 2 * np.pi, self.model_cfg.enc_dim)
+
+    def encode(self, img_nhwc):
+        feat, pos = super().encode(img_nhwc)
+        fid = self._pending_id
+        T = self._oracle_frames[fid][2]
+        # smooth pose embedding: translation + quaternion through an RFF
+        z = np.concatenate([T[:3] * 3.0, T[3:7], T[7:8]])
+        f = np.sin(z @ self._feat_W + self._feat_B).astype(np.float32)
+        n = feat.shape[1]
+        toks = np.tile(f, (n, 1))
+        # token diversity so ASMK sees >1 visual word
+        toks += 0.3 * np.sin(
+            np.arange(n, dtype=np.float32)[:, None] * 0.7
+            + np.arange(self.model_cfg.enc_dim)[None] * 0.13
+        )
+        feat = jnp.asarray(toks[None]).at[:, 0, 0].set(float(fid))
+        return feat, pos
+
+    def _decode_pair(self, feat_i, pos_i, feat_j, pos_j):
+        fi = int(np.asarray(feat_i[0, 0, 0]))
+        out = super()._decode_pair(feat_i, pos_i, feat_j, pos_j)
+        rng = self._noise
+        b = out.X1.shape[0]
+
+        def corrupt_X(X):
+            X = np.asarray(X)
+            depth_noise = 1.0 + 0.01 * rng.standard_normal(X.shape[:-1])
+            X = X * depth_noise[..., None]
+            outl = rng.random(X.shape[:-1]) < 0.06
+            scale = rng.uniform(0.5, 2.0, X.shape[:-1])
+            X = np.where(outl[..., None], X * scale[..., None], X)
+            return jnp.asarray(X.astype(np.float32))
+
+        def corrupt_D(D):
+            D = np.asarray(D) + 0.05 * rng.standard_normal(np.asarray(D).shape)
+            D = D / np.linalg.norm(D, axis=-1, keepdims=True)
+            return jnp.asarray(D.astype(np.float32))
+
+        def conf(shape):
+            return jnp.asarray(rng.uniform(1.0, 3.0, shape).astype(np.float32))
+
+        X1 = corrupt_X(out.X1)
+        if fi in self.break_frames:  # garbage geometry: tracking must fail
+            X1 = jnp.asarray(
+                rng.uniform(-5, 5, np.asarray(out.X1).shape).astype(np.float32)
+            )
+        return model_api.PairOutput(
+            X1=X1, C1=conf(out.C1.shape),
+            D1=corrupt_D(out.D1), Q1=conf(out.Q1.shape),
+            X2=corrupt_X(out.X2), C2=conf(out.C2.shape),
+            D2=corrupt_D(out.D2), Q2=conf(out.Q2.shape),
+        )
+
+
+def _loop_trajectory(n):
+    """Out-and-back path: the camera returns to (near) its start pose, so the
+    final frames genuinely revisit the first keyframes' viewpoint."""
+    poses = []
+    for i in range(n):
+        s = np.sin(np.pi * i / (n - 1))
+        tau = jnp.asarray(
+            [0.55 * s, 0.1 * s, 0.0, 0.0, 0.12 * s, 0.0, 0.0], jnp.float32
+        )
+        poses.append(np.asarray(lie.sim3_exp(tau), np.float32))
+    return poses
+
+
+def _run_noisy(n_frames, with_backend, break_frames=(), retrieval=True):
+    from monst3r_slam_tpu.slam import retrieval as retrieval_mod
+
+    cfg = load_config("config/base.yaml")
+    cfg["tracking"]["Q_conf"] = 1.2
+    cfg["tracking"]["C_conf"] = 1.2
+    cfg["local_opt"]["Q_conf"] = 1.2
+    cfg["tracking"]["match_frac_thresh"] = 0.925
+    cfg["single_thread"] = True
+    cfg["retrieval"] = {"k": 3, "min_thresh": 1e-4}
+
+    kwargs = {}
+    if retrieval:
+        kwargs["retrieval_params"] = retrieval_mod.init_retrieval_params(
+            jax.random.PRNGKey(1), TINY.enc_dim, hdims=(32,)
+        )
+        kwargs["retrieval_db"] = retrieval_mod.ASMKDatabase(None, n_words=64)
+    slam = NoisyOracleSLAM(
+        params={}, model_cfg=TINY, cfg=cfg, img_size=(H, W), kf_capacity=32,
+        **kwargs,
+    )
+    slam.break_frames = set(break_frames)
+    if not with_backend:
+        slam.solve_backend = lambda: None  # tracking-only ablation
+
+    gt = _loop_trajectory(n_frames)
+    img = np.zeros((H, W, 3), np.float32)
+    modes = []
+    for i, T in enumerate(gt):
+        slam.register_frame(T)
+        slam.process_frame(i, float(i) / 30.0, img)
+        modes.append(slam.mode)
+    slam.finalize()
+
+    frame_ids, T_all = slam.full_trajectory()
+    est_xyz = np.stack([np.asarray(lie.sim3_to_se3(T))[:3] for T in T_all])
+    gt_xyz = np.stack([T[:3] for T in gt])
+    t = np.arange(n_frames, dtype=np.float64)
+    rmse, _ = ate_rmse(t, est_xyz, t, gt_xyz)
+    return rmse, slam, modes
+
+
+def test_adversarial_ate_backend_reduces_error():
+    """Noise + outliers + a revisit loop: the global backend (with retrieval
+    loop-closure edges) must measurably beat tracking-only ATE, and the
+    revisit must have produced at least one non-consecutive graph edge."""
+    n = 14
+    rmse_track, slam_t, _ = _run_noisy(n, with_backend=False)
+    rmse_full, slam_f, _ = _run_noisy(n, with_backend=True)
+
+    assert int(slam_f.mem.count) >= 3, "keyframing never triggered"
+    ii = np.asarray(slam_f.graph.ii[: slam_f.graph.n_edges])
+    jj = np.asarray(slam_f.graph.jj[: slam_f.graph.n_edges])
+    assert slam_f.graph.n_edges > 0
+    assert (np.abs(ii - jj) >= 2).any(), (
+        f"no loop-closure edge from the revisit (edges: {list(zip(ii, jj))})"
+    )
+    # the solver must survive outliers at normal confidence (Huber) and
+    # improve on dead-reckoning tracking
+    assert np.isfinite(rmse_full)
+    assert rmse_full < rmse_track, (rmse_full, rmse_track)
+    assert rmse_full < 0.05, f"adversarial ATE too high: {rmse_full:.4f}"
+
+
+def test_reloc_recovers_from_tracking_break():
+    """A frame of garbage geometry forces low_match -> RELOC; retrieval then
+    relocalizes against the keyframe memory and tracking resumes (reference
+    main.py:29-78 semantics)."""
+    from monst3r_slam_tpu.slam.frame import Mode
+
+    n = 12
+    rmse, slam, modes = _run_noisy(n, with_backend=True, break_frames={5})
+    assert Mode.RELOC in modes, "tracking break never triggered RELOC"
+    i_reloc = modes.index(Mode.RELOC)
+    assert modes[-1] == Mode.TRACKING, "never relocalized back to TRACKING"
+    assert any(m == Mode.TRACKING for m in modes[i_reloc + 1 :])
+    assert np.isfinite(rmse)

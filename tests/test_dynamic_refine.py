@@ -118,3 +118,81 @@ def test_get_dynamic_mask_refine_gate_runs_native_refiner():
     finally:
         dyn.set_flow_estimator(None)
     assert _iou(m_ref, gt) > _iou(m_raw, gt)
+
+
+def test_temporal_propagation_stabilizes_flicker():
+    """A moving object whose flow error intermittently dips below threshold:
+    per-frame refinement loses it on weak frames (IoU -> 0); the temporal
+    propagator (flow-warp carry, reference SAM2-video semantics
+    monst3r_utils.py:640-703) keeps IoU high on every frame."""
+    from monst3r_slam_tpu.dynamic.refine import (
+        TemporalMaskPropagator,
+        refine_dynamic_mask,
+    )
+
+    h, w = 60, 80
+    thr = 0.35
+
+    def gt_mask(k):
+        m = np.zeros((h, w), bool)
+        x0 = 5 + 3 * k
+        m[20:36, x0 : x0 + 16] = True
+        return m
+
+    def err_map(k, weak):
+        e = np.full((h, w), 0.05, np.float32)
+        e[gt_mask(k)] = 0.25 if weak else 0.8  # weak: below thr, above carry bar
+        return e
+
+    def flow_fn(a, b):  # object moves +3 px/frame in x
+        return np.broadcast_to(
+            np.asarray([3.0, 0.0], np.float32), (h, w, 2)
+        ).copy()
+
+    img = np.zeros((h, w, 3), np.uint8)
+    prop = TemporalMaskPropagator()
+    ious_per, ious_tmp = [], []
+    for k in range(12):
+        weak = k % 3 == 2
+        e = err_map(k, weak)
+        raw = e > thr
+        per = refine_dynamic_mask(img, e, raw, threshold=thr, use_grabcut=False)
+        tmp = prop(img, e, raw, thr, 20, flow_fn=flow_fn, use_grabcut=False)
+        gt = gt_mask(k)
+
+        def iou(m):
+            return (m & gt).sum() / max((m | gt).sum(), 1)
+
+        ious_per.append(iou(per))
+        ious_tmp.append(iou(tmp))
+
+    assert min(ious_per) == 0.0  # per-frame refinement flickers out
+    assert min(ious_tmp) > 0.6  # temporal carry holds the object every frame
+    assert max(ious_tmp) > 0.9
+
+
+def test_temporal_propagation_drops_stopped_objects():
+    """An object that stops producing flow-error evidence is dropped after
+    max_coast frames (SAM2-equivalent per-frame re-scoring)."""
+    from monst3r_slam_tpu.dynamic.refine import TemporalMaskPropagator
+
+    h, w = 40, 50
+    thr = 0.35
+    gt = np.zeros((h, w), bool)
+    gt[10:26, 10:26] = True
+    img = np.zeros((h, w, 3), np.uint8)
+
+    def flow_fn(a, b):
+        return np.zeros((h, w, 2), np.float32)
+
+    prop = TemporalMaskPropagator(max_coast=2)
+    e_hot = np.where(gt, 0.8, 0.05).astype(np.float32)
+    e_cold = np.full((h, w), 0.2, np.float32)  # above carry bar, no fresh seeds
+    m = prop(img, e_hot, e_hot > thr, thr, 20, flow_fn=flow_fn, use_grabcut=False)
+    assert m.any()
+    coast = []
+    for _ in range(4):
+        m = prop(img, e_cold, e_cold > thr, thr, 20, flow_fn=flow_fn, use_grabcut=False)
+        coast.append(m.any())
+    assert coast[0] and coast[1]  # coasts through max_coast frames
+    assert not coast[2] and not coast[3]  # then returns to static

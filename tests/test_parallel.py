@@ -80,7 +80,13 @@ def test_slam_state_checkpoint_roundtrip(tmp_path):
 
     slam = build()
     for i, img in enumerate(synth_video(3)):
-        slam.process_frame(i, i / 30.0, img)
+        uimg = ((img * 0.5 + 0.5) * 255).astype(np.uint8)
+        slam.process_frame(i, i / 30.0, img, uimg=uimg)
+    # host-side keyframe state must survive the roundtrip (uimg colors the
+    # PLY export; dyn masks gate keyframe-side dynamic matching)
+    n_kf = int(slam.mem.count)
+    slam.kf_dyn_masks[0] = np.zeros((H, W), bool)
+    slam.kf_dyn_masks[0][10:20, 10:20] = True
     slam.save_state(tmp_path / "state.npz")
 
     slam2 = build()
@@ -90,6 +96,12 @@ def test_slam_state_checkpoint_roundtrip(tmp_path):
         np.asarray(slam2.mem.T_WC), np.asarray(slam.mem.T_WC), atol=1e-6
     )
     assert slam2.graph.n_edges == slam.graph.n_edges
+    for i in range(n_kf):
+        assert slam2.kf_uimgs[i] is not None
+        np.testing.assert_array_equal(slam2.kf_uimgs[i], slam.kf_uimgs[i])
+    np.testing.assert_array_equal(slam2.kf_dyn_masks[0], slam.kf_dyn_masks[0])
+    # a resumed run exports real colors, not the gray fallback
+    assert not np.allclose(slam2.keyframe_colors(), 0.5)
     # Resumed system keeps tracking
     slam2.process_frame(3, 0.1, synth_video(4)[3])
     assert len(slam2.frame_poses) == len(slam.frame_poses) + 1

@@ -120,3 +120,73 @@ def test_bootstrap_db_queryless_phase():
     scores = db.query(f + 0.01)
     assert scores.shape == (2,) and np.isfinite(scores).all()
     assert db.update(f + 0.01, False, k=2, min_thresh=-1.0) != []
+
+
+# ---------------------------------------------------------------------------
+# Scale benchmark (VERDICT r2 item 9): >=100 scenes with shared "stopword"
+# distractor features; precision/recall with bootstrap vs trained codebooks,
+# and the idf option on a stopword-heavy corpus.
+# ---------------------------------------------------------------------------
+
+
+def _scene_corpus(rng, n_scenes, nfeat=40, dim=64, n_stop=8, noise=0.25):
+    """Per-scene feature generator: scene-specific features + `n_stop`
+    distractor features SHARED by every scene (textureless walls, sky...)."""
+    bases = rng.standard_normal((n_scenes, nfeat - n_stop, dim)).astype(np.float32)
+    stop = rng.standard_normal((n_stop, dim)).astype(np.float32)
+
+    def view(s, key):
+        r = np.random.default_rng(hash((s, key)) % 2**32)
+        f = bases[s] + noise * r.standard_normal(bases[s].shape)
+        g = stop + noise * r.standard_normal(stop.shape)
+        return np.concatenate([f, g]).astype(np.float32)
+
+    return view
+
+
+def _eval_db(db, view, n_scenes):
+    for s in range(n_scenes):
+        db.update(view(s, 0), add_after_query=True, k=3)
+    p1 = r3 = 0
+    for s in range(n_scenes):
+        top = db.update(view(s, 1), add_after_query=False, k=3)
+        p1 += bool(top) and top[0] == s
+        r3 += s in top[:3]
+    return p1 / n_scenes, r3 / n_scenes
+
+
+def test_retrieval_at_scale():
+    """120 scenes: the trained codebook must hit >=95% precision@1; the
+    5-frame bootstrap codebook stays usable (>=70%) at this distractor
+    scale."""
+    S = 120
+    rng = np.random.default_rng(0)
+    view = _scene_corpus(rng, S)
+
+    train = np.concatenate([view(s, 7) for s in range(S)])
+    cb = retrieval.kmeans_codebook(train, 512, iters=10)
+    p1_tr, r3_tr = _eval_db(retrieval.ASMKDatabase(cb), view, S)
+    assert p1_tr >= 0.95, f"trained-codebook precision@1={p1_tr:.3f}"
+    assert r3_tr >= 0.97, f"trained-codebook recall@3={r3_tr:.3f}"
+
+    p1_bs, r3_bs = _eval_db(
+        retrieval.ASMKDatabase(None, n_words=512, bootstrap_frames=5), view, S
+    )
+    assert p1_bs >= 0.70, f"bootstrap precision@1={p1_bs:.3f}"
+    assert r3_bs >= 0.80, f"bootstrap recall@3={r3_bs:.3f}"
+
+
+def test_retrieval_idf_helps_with_stopwords():
+    """With most features shared across scenes (stopword-heavy corpus), idf
+    down-weights the common words and must not hurt — and should beat the
+    unweighted kernel."""
+    S = 100
+    rng = np.random.default_rng(3)
+    view = _scene_corpus(rng, S, nfeat=40, n_stop=26, noise=0.2)
+    train = np.concatenate([view(s, 7) for s in range(S)])
+    cb = retrieval.kmeans_codebook(train, 256, iters=10)
+
+    p1_plain, _ = _eval_db(retrieval.ASMKDatabase(cb), view, S)
+    p1_idf, _ = _eval_db(retrieval.ASMKDatabase(cb, use_idf=True), view, S)
+    assert p1_idf >= p1_plain, (p1_idf, p1_plain)
+    assert p1_idf >= 0.9, f"idf precision@1={p1_idf:.3f}"

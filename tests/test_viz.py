@@ -82,3 +82,107 @@ def test_live_viewer_roundtrip():
         assert struct.unpack_from("<5I", blob2)[1] == 490
     finally:
         v.stop()
+
+
+def test_live_viewer_control_channel_http():
+    """POST /control feeds poll_control; /frame.bin serves the mask overlay
+    (reference WindowMsg feedback path, visualization.py:33-39,355-361)."""
+    import json
+    import struct
+    import urllib.request
+
+    import numpy as np
+
+    from monst3r_slam_tpu.viz.live import LiveViewer
+
+    v = LiveViewer()
+    port = v.start(port=18089)
+    assert port is not None
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/control",
+            data=json.dumps(
+                {"pause": True, "C_conf": 2.5, "step": True, "reloc": True}
+            ).encode(),
+            method="POST",
+        )
+        assert urllib.request.urlopen(req, timeout=5).status == 200
+        msg = v.poll_control()
+        assert msg["pause"] is True and msg["C_conf"] == 2.5
+        assert msg["step"] is True and msg["reloc"] is True
+        # one-shots clear on read; persistent state stays
+        msg2 = v.poll_control()
+        assert msg2["step"] is False and msg2["reloc"] is False
+        assert msg2["pause"] is True
+
+        img = np.zeros((32, 40, 3), np.uint8)
+        mask = np.zeros((32, 40), bool)
+        mask[8:16, 8:16] = True
+        v.update_frame(img, mask)
+        blob = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.bin", timeout=5
+        ).read()
+        w, h = struct.unpack_from("<2I", blob)
+        assert (w, h) == (40, 32)
+        rgb = np.frombuffer(blob[8:], np.uint8).reshape(h, w, 3)
+        assert rgb[10, 10, 0] > 100 and rgb[10, 10, 2] == 0  # red tint
+        assert rgb[0, 0].sum() == 0  # untinted background
+    finally:
+        v.stop()
+
+
+def test_pipeline_consumes_viewer_control():
+    """reloc / C_conf / terminate controls act on the SLAM loop between
+    frames (reference main.py WindowMsg handling)."""
+    import jax
+    import numpy as np
+
+    from monst3r_slam_tpu.app.config import load_config
+    from monst3r_slam_tpu.app.pipeline import SLAMSystem
+    from monst3r_slam_tpu.models.config import TINY
+    from monst3r_slam_tpu.models.init import init_params
+    from monst3r_slam_tpu.slam.frame import Mode
+    from monst3r_slam_tpu.viz.live import LiveViewer
+    from tests.test_pipeline import H, W, synth_video
+
+    cfg = load_config("config/base.yaml")
+    cfg["tracking"]["Q_conf"] = -1e9
+    cfg["tracking"]["C_conf"] = -1e9
+    cfg["tracking"]["min_match_frac"] = 0.0
+    s = SLAMSystem(
+        params=init_params(jax.random.PRNGKey(0), TINY),
+        model_cfg=TINY, cfg=cfg, img_size=(H, W), kf_capacity=8,
+    )
+    v = LiveViewer()  # not started; control state works without the server
+    s.viewer = v
+    frames = synth_video(2)
+    s.process_frame(0, 0.0, frames[0])  # INIT -> TRACKING
+
+    # reloc + C_conf consumed between frames
+    s.mode = Mode.TRACKING
+    v.push_control({"C_conf": 3.25, "reloc": True})
+    s._consume_viewer_control()
+    assert s.viz_C_conf == 3.25
+    assert s.mode == Mode.RELOC  # viewer-requested relocalization
+    assert s.idx_f2k is None
+
+    # pause + queued step: returns without blocking (single-step semantics)
+    v.push_control({"pause": True, "step": True})
+    s._consume_viewer_control()
+    assert not s.terminate_requested
+
+    # terminate unblocks a paused loop
+    import threading
+    import time as time_mod
+
+    def unpause():
+        time_mod.sleep(0.2)
+        v.push_control({"terminate": True})
+
+    threading.Thread(target=unpause).start()
+    s._consume_viewer_control()  # paused (no step queued) until terminate lands
+    assert s.terminate_requested
+
+    n_before = len(s.frame_poses)
+    s.process_frame(1, 1 / 30.0, frames[1])
+    assert len(s.frame_poses) == n_before  # frame not processed after terminate
