@@ -105,3 +105,77 @@ def test_slam_state_checkpoint_roundtrip(tmp_path):
     # Resumed system keeps tracking
     slam2.process_frame(3, 0.1, synth_video(4)[3])
     assert len(slam2.frame_poses) == len(slam.frame_poses) + 1
+
+
+def test_sharded_edge_decode_matches_single_device():
+    """Factor-graph edge decode dp-sharded over the mesh == unsharded decode
+    (parallel/inference.py; the reference's 4-serial-decode per-edge cost,
+    mast3r_utils.py:87-120, is the target of this fan-out)."""
+    from monst3r_slam_tpu.models import mast3r as model_api
+    from monst3r_slam_tpu.parallel import inference as pinf
+
+    H, W = 32, 48
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    n = (H // 16) * (W // 16)
+    E = 3  # deliberately NOT a dp multiple: exercises pad/strip
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    feat1 = jax.random.normal(k1, (E, n, TINY.enc_dim))
+    feat2 = jax.random.normal(k2, (E, n, TINY.enc_dim))
+    yy, xx = jnp.mgrid[0 : H // 16, 0 : W // 16]
+    pos = jnp.broadcast_to(
+        jnp.stack([yy.ravel(), xx.ravel()], -1)[None], (E, n, 2)
+    ).astype(jnp.int32)
+
+    ref = model_api.decode(params, TINY, feat1, pos, feat2, pos, (H, W))
+
+    m = pmesh.make_mesh(8)
+    params_r = pinf.place_replicated(params, m)
+    out = pinf.sharded_edge_decode(m, params_r, TINY, feat1, pos, feat2, pos, (H, W))
+    for r, s in zip(ref, out):
+        if r is None:
+            assert s is None
+            continue
+        assert s.shape == r.shape  # pad rows stripped
+        np.testing.assert_allclose(np.asarray(s), np.asarray(r), atol=2e-2, rtol=2e-2)
+
+
+def test_dual_decode_two_device_matches_reference_path():
+    """MonST3R-on-dev0 + MASt3R-on-dev1 concurrent dual decode == the serial
+    single-device dual path (dynamic/inference.py:27-41)."""
+    import dataclasses as _dc
+
+    from monst3r_slam_tpu.dynamic.inference import (
+        DualParams,
+        monst3r_asymmetric_inference,
+    )
+    from monst3r_slam_tpu.parallel import inference as pinf
+
+    H, W = 32, 48
+    monst3r_cfg = _dc.replace(TINY, desc_dim=None, two_confs=False)
+    dual = DualParams(
+        monst3r=init_params(jax.random.PRNGKey(0), monst3r_cfg),
+        monst3r_cfg=monst3r_cfg,
+        mast3r=init_params(jax.random.PRNGKey(1), TINY),
+        mast3r_cfg=TINY,
+    )
+    n = (H // 16) * (W // 16)
+    feat_i = jax.random.normal(jax.random.PRNGKey(2), (1, n, TINY.enc_dim))
+    feat_j = jax.random.normal(jax.random.PRNGKey(3), (1, n, TINY.enc_dim))
+    yy, xx = jnp.mgrid[0 : H // 16, 0 : W // 16]
+    pos = jnp.stack([yy.ravel(), xx.ravel()], -1)[None].astype(jnp.int32)
+
+    ref = monst3r_asymmetric_inference(dual, feat_i, pos, feat_j, pos, (H, W))
+
+    devs = pinf.dual_device_pair(jax.devices())
+    assert devs is not None
+    dual2 = pinf.place_dual(dual, *devs)
+    out = pinf.dual_decode_two_device(
+        dual2, devs[0], devs[1], feat_i, pos, feat_j, pos, (H, W)
+    )
+    assert out.X1.devices() == {devs[0]}
+    assert out.D1.devices() == {devs[0]}  # descriptors came home over ICI
+    for r, s in zip(ref, out):
+        if r is None:
+            assert s is None
+            continue
+        np.testing.assert_allclose(np.asarray(s), np.asarray(r), atol=2e-4, rtol=1e-3)
