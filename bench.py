@@ -269,7 +269,10 @@ def main():
         )
         raft_cfg = raft_mod.RAFTConfig(iters=4) if SMOKE else raft_mod.RAFTConfig()
         raft_params = raft_mod.init_raft_params(jax.random.PRNGKey(8), raft_cfg)
-        flow_fn = raft_mod.make_raft_flow_estimator(raft_params, raft_cfg)
+        # ONE device program for RAFT + ego-flow + error map per frame
+        dyn.set_flow_error_program(
+            raft_mod.make_fused_flow_error_program(raft_params, raft_cfg)
+        )
         refiner = make_native_refiner()
 
         rng = np.random.default_rng(0)
@@ -315,8 +318,7 @@ def main():
                 X1=out_m.X1, C1=out_m.C1, D1=out_a.D1, Q1=out_a.Q1,
                 X2=out_m.X2, C2=out_m.C2, D2=out_a.D2, Q2=out_a.Q2,
             )
-            # host-side dynamic mask (flow backend = JAX RAFT, 20 iters)
-            dyn.set_flow_estimator(flow_fn)
+            # host-side dynamic mask (flow backend = fused JAX RAFT, 20 iters)
             m = dyn.get_dynamic_mask(
                 uimg_t, uimg_k, T_prev, T_WCk, out.X1[0, ..., 2], K,
                 threshold=0.35, refine=True,

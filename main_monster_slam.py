@@ -108,10 +108,18 @@ def main():
     if args.raft_checkpoint == "random":
         raft_params = raft_mod.init_raft_params(jax.random.PRNGKey(args.seed + 2))
         dyn_mask.set_flow_estimator(raft_mod.make_raft_flow_estimator(raft_params))
+        # fused single-dispatch RAFT+ego-flow+error-map program (the split
+        # path pays a device round trip per stage)
+        dyn_mask.set_flow_error_program(
+            raft_mod.make_fused_flow_error_program(raft_params)
+        )
         print("RAFT flow estimator installed (random init — testing only)")
     elif pathlib.Path(args.raft_checkpoint).is_file():
         raft_params = raft_mod.raft_params_from_torch(args.raft_checkpoint)
         dyn_mask.set_flow_estimator(raft_mod.make_raft_flow_estimator(raft_params))
+        dyn_mask.set_flow_error_program(
+            raft_mod.make_fused_flow_error_program(raft_params)
+        )
         print(f"RAFT flow estimator installed from {args.raft_checkpoint}")
     else:
         print(
@@ -164,13 +172,19 @@ def main():
     if args.max_frames:
         n = min(n, args.max_frames)
 
+    from monst3r_slam_tpu.data.prefetch import FramePrefetcher
+
+    # Decode+resize of frame t+1 overlaps the chip's work on frame t
+    # (the reference preprocesses serially between device steps, main.py:247)
+    frames = FramePrefetcher(
+        dataset, lambda img: resize_img(img, dataset.img_size), hi=n
+    )
     t0 = time.time()
-    for i in range(n):
-        timestamp, img = dataset[i]
-        out = resize_img(img, dataset.img_size)
+    for i, timestamp, out in frames:
         slam.process_frame(i, timestamp, out["img"][0], uimg=out["unnormalized_img"])
         if slam.terminate_requested:  # viewer 'terminate' control (WindowMsg parity)
             print("terminated from viewer")
+            frames.stop()
             break
         if i % 30 == 0 and i > 0:
             fps = i / (time.time() - t0)

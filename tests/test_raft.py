@@ -146,3 +146,66 @@ def test_raft_torch_converter_roundtrip(tmp_path):
     f_src = raft.raft_flow(src, img1, img2, cfg)
     f_conv = raft.raft_flow(conv, img1, img2, cfg)
     np.testing.assert_allclose(np.asarray(f_src), np.asarray(f_conv), atol=1e-5)
+
+
+def test_bilinear_lookup_mm_matches_gather():
+    """The MXU matmul form of the corr lookup == the gather form (the gather
+    form is the oracle; the mm form is what raft_flow runs on TPU, where
+    per-element gathers were the dominant cost of the whole flow)."""
+    key = jax.random.PRNGKey(0)
+    n, hl, wl, k = 37, 12, 18, 25
+    vol = jax.random.normal(key, (n, hl, wl))
+    k1, k2 = jax.random.split(key)
+    # in-bounds, fractional, AND out-of-bounds coords (clipping parity)
+    u = jax.random.uniform(k1, (n, k), minval=-3.0, maxval=wl + 3.0)
+    v = jax.random.uniform(k2, (n, k), minval=-3.0, maxval=hl + 3.0)
+    ref = raft._bilinear_lookup(vol, u, v)
+    out = raft._bilinear_lookup_mm(vol, u, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_corr_lookup_mm_matches_gather_in_raft():
+    key = jax.random.PRNGKey(3)
+    h, w, c = 6, 8, 16
+    f1 = jax.random.normal(key, (h, w, c))
+    f2 = jax.random.normal(jax.random.PRNGKey(4), (h, w, c))
+    pyr = raft.corr_pyramid(f1, f2, 2)
+    flow = 0.7 * jax.random.normal(jax.random.PRNGKey(5), (h, w, 2))
+    ref = raft.corr_lookup(pyr, flow, 2, use_mm=False)
+    out = raft.corr_lookup(pyr, flow, 2, use_mm=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_flow_error_program_matches_split_path():
+    """raft.make_fused_flow_error_program == compute_flow + ego_motion_flow +
+    flow_error_map run separately (the split path is the oracle; the fused
+    program is the production single-dispatch path)."""
+    from monst3r_slam_tpu.core import lie
+    from monst3r_slam_tpu.dynamic import mask as dyn
+
+    cfg = raft.RAFTConfig(iters=3)
+    params = raft.init_raft_params(jax.random.PRNGKey(0), cfg)
+    h, w = 32, 40
+    rng = np.random.default_rng(0)
+    u0 = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    u1 = np.roll(u0, 2, axis=1)
+    T_i = jnp.asarray(lie.sim3_identity())
+    T_j = lie.sim3_retr(T_i, jnp.asarray([0.01, 0.0, 0.0, 0.0, 0.01, 0.0, 0.0]))
+    depth = jnp.full((h, w), 2.5)
+    K = jnp.asarray([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], jnp.float32)
+
+    flow = raft.make_raft_flow_estimator(params, cfg)(u0, u1)
+    ego = np.asarray(dyn.ego_motion_flow(T_i, T_j, depth, K))
+    ref = np.asarray(dyn.flow_error_map(jnp.asarray(flow), jnp.asarray(ego)))
+
+    fused = raft.make_fused_flow_error_program(params, cfg)
+    out = fused(u0, u1, T_i, T_j, depth, K)
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    # and get_dynamic_mask consumes the installed program
+    dyn.set_flow_error_program(fused)
+    try:
+        m = dyn.get_dynamic_mask(u0, u1, T_i, T_j, depth, K, threshold=0.35)
+        np.testing.assert_array_equal(m, ref > 0.35)
+    finally:
+        dyn.set_flow_error_program(None)
