@@ -40,7 +40,11 @@ from monst3r_slam_tpu.ops.matching import MatchingConfig, lin_to_pixel, pixel_to
 
 class TiledConfig(NamedTuple):
     tile: int = 16  # source-grid tile (patch-size aligned)
-    crop: int = 64  # target crop per tile (>= 2*(radius*dilation_max) + spread)
+    # Target crop per tile (>= 2*(radius*dilation_max) + spread). Crop DMA is
+    # the matcher's dominant phase and scales with crop^2; 48 matches 64's
+    # validity bit-for-bit on the ablation scenes (scripts/profile_crop.py:
+    # 20.4 -> 16.5 ms) while 32 loses warm-start coverage and degrades.
+    crop: int = 48
     coarse_stride: int = 8
     chunk_tiles: int = 64  # tiles per scan step (memory bound)
     # Warm-start fallback: when a tile's warm-start median disagrees with the
