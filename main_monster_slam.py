@@ -37,6 +37,14 @@ def main():
         "'random' installs the JAX RAFT with random init (for testing), "
         "missing file falls back to OpenCV DIS flow",
     )
+    parser.add_argument(
+        "--sam2-checkpoint",
+        default="checkpoints/sam2_hiera_base_plus.pt",
+        help="official SAM2 weights for mask refinement "
+        "(reference monst3r_utils.py:640-703); 'random' installs the JAX "
+        "SAM2 with random init (for testing), missing file keeps the "
+        "native hysteresis+GrabCut refiner",
+    )
     parser.add_argument("--max-frames", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -125,6 +133,31 @@ def main():
         print(
             f"RAFT checkpoint {args.raft_checkpoint} not found — "
             "falling back to OpenCV DIS optical flow"
+        )
+
+    # SAM2 refinement (reference monst3r_utils.py:640-703): real weights via
+    # the converter when present; otherwise the native hysteresis+GrabCut
+    # refiner stays the default behind the same config gate.
+    from monst3r_slam_tpu.dynamic import sam2 as sam2_mod
+
+    if args.sam2_checkpoint == "random":
+        sam2_params = sam2_mod.init_sam2_params(
+            jax.random.PRNGKey(args.seed + 3), sam2_mod.SAM2_TEST
+        )
+        dyn_mask.set_mask_refiner(
+            sam2_mod.Sam2Refiner(sam2_params, sam2_mod.SAM2_TEST)
+        )
+        print("SAM2 refiner installed (random init — testing only)")
+    elif pathlib.Path(args.sam2_checkpoint).is_file():
+        sam2_params = sam2_mod.sam2_params_from_torch(args.sam2_checkpoint)
+        dyn_mask.set_mask_refiner(
+            sam2_mod.Sam2Refiner(sam2_params, sam2_mod.SAM2_BASE_PLUS)
+        )
+        print(f"SAM2 refiner installed from {args.sam2_checkpoint}")
+    else:
+        print(
+            f"SAM2 checkpoint {args.sam2_checkpoint} not found — "
+            "using the native hysteresis+GrabCut refiner"
         )
 
     K = None

@@ -147,6 +147,9 @@ def _bilinear_lookup_mm(vol, u, v):
     u0 = u0[..., None]
     Wv = jnp.where(rows == v0, 1.0 - dv, 0.0) + jnp.where(rows == v0 + 1, dv, 0.0)
     Wu = jnp.where(cols == u0, 1.0 - du, 0.0) + jnp.where(cols == u0 + 1, du, 0.0)
+    # f32 inputs with f32 accumulate: TPU einsum at default precision already
+    # computes in bf16, so a bf16 cast here would only change the HBM
+    # intermediates, and (N, K, hl/wl) weight tensors are transient anyway.
     tmp = jnp.einsum(
         "nkh,nhw->nkw", Wv, vol, preferred_element_type=jnp.float32
     )
@@ -225,21 +228,26 @@ def convex_upsample(flow, mask, factor=8):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def raft_flow(params, img1, img2, cfg: RAFTConfig = RAFTConfig()):
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def raft_flow(params, img1, img2, cfg: RAFTConfig = RAFTConfig(),
+              dtype=jnp.float32):
     """img1/img2: (H, W, 3) in [0, 255] -> flow (H, W, 2) at full res.
 
-    H, W must be multiples of 8.
+    H, W must be multiples of 8. Convs/GRU run in `dtype` (instance norms
+    and the flow/correlation state always stay f32). f32 is the default:
+    measured A/B on v5e (scripts/profile_raft_dtype.py) shows bf16 is NOT
+    faster (21.0 ms f32 vs 23.0 ms bf16 — the backend already runs f32
+    matmuls on the MXU in bf16) and drifts flow by ~3.5 px mean EPE.
     """
-    x1 = (img1[None] / 255.0) * 2.0 - 1.0
-    x2 = (img2[None] / 255.0) * 2.0 - 1.0
+    x1 = ((img1[None] / 255.0) * 2.0 - 1.0).astype(dtype)
+    x2 = ((img2[None] / 255.0) * 2.0 - 1.0).astype(dtype)
     f1 = encoder(params["fnet"], x1)[0]
     f2 = encoder(params["fnet"], x2)[0]
     ctx = encoder(params["cnet"], x1)[0]
     net = jnp.tanh(ctx[..., : cfg.hidden_dim])
     inp = jax.nn.relu(ctx[..., cfg.hidden_dim :])
 
-    pyr = corr_pyramid(f1, f2, cfg.corr_levels)
+    pyr = corr_pyramid(f1, f2, cfg.corr_levels)  # f32 accumulate
     h, w = f1.shape[:2]
     flow = jnp.zeros((h, w, 2))
 
@@ -248,17 +256,19 @@ def raft_flow(params, img1, img2, cfg: RAFTConfig = RAFTConfig()):
     def body(carry, _):
         net, flow = carry
         corr = corr_lookup(pyr, flow, cfg.corr_radius)
-        motion = motion_encoder(up["encoder"], flow, corr)
+        motion = motion_encoder(
+            up["encoder"], flow.astype(dtype), corr.astype(dtype)
+        )
         x = jnp.concatenate([inp[None], motion], axis=-1)
         net_new = sep_conv_gru(up["gru"], net[None], x)[0]
         dflow = flow_head(up["flow_head"], net_new[None])[0]
-        return (net_new, flow + dflow), None
+        return (net_new, flow + dflow.astype(jnp.float32)), None
 
     (net, flow), _ = jax.lax.scan(body, (net, flow), None, length=cfg.iters)
 
     mask = conv(params["update"]["mask"]["conv2"],
                 jax.nn.relu(conv(params["update"]["mask"]["conv1"], net[None])))[0]
-    return convex_upsample(flow, mask * 0.25)
+    return convex_upsample(flow, mask.astype(jnp.float32) * 0.25)
 
 
 # ---------------------------------------------------------------------------

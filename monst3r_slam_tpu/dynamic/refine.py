@@ -241,10 +241,22 @@ class TemporalMaskPropagator:
         seeds = np.asarray(raw_mask, bool)
         if carried is not None:
             seeds = seeds | carried
-        refined = refine_dynamic_mask(
-            img_u8, err_norm, seeds,
-            threshold=threshold, min_area=min_area, use_grabcut=use_grabcut,
-        )
+        # Per-frame refinement of the seeded mask: the globally-installed
+        # refiner when one exists (e.g. the SAM2 port, dynamic/sam2.py —
+        # matching the reference where SAM2 *is* the video propagator,
+        # monst3r_utils.py:640-703), else the native hysteresis+GrabCut.
+        from monst3r_slam_tpu.dynamic import mask as _mask_mod
+
+        base = _mask_mod._mask_refiner
+        if base is not None and base is not self:
+            refined = np.asarray(
+                base(img_u8, err_norm, seeds, threshold, min_area), bool
+            )
+        else:
+            refined = refine_dynamic_mask(
+                img_u8, err_norm, seeds,
+                threshold=threshold, min_area=min_area, use_grabcut=use_grabcut,
+            )
         if carried is not None and refined.any():
             refined |= carried  # carried support survives even if GrabCut trims it
 
