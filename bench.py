@@ -353,6 +353,55 @@ def main():
         _extra["monster_error"] = f"{type(e).__name__}: {e}"
         print(f"monster stage failed: {e!r}", file=sys.stderr, flush=True)
 
+    # --- 3. End-to-end SLAMSystem loop: what a user of main.py actually
+    # gets per frame — process_frame with deferred host sync (cross-frame
+    # encode overlap), async backend thread, keyframing and pose recording.
+    wd.phase("e2e_init", 420)
+    try:
+        from monst3r_slam_tpu.app.config import load_config
+        from monst3r_slam_tpu.app.pipeline import SLAMSystem
+
+        e_cfg = load_config("config/base.yaml")
+        # random weights produce arbitrary confidences: relax the gates so
+        # the loop exercises the full tracking path instead of RELOC
+        e_cfg["tracking"]["Q_conf"] = -1e9
+        e_cfg["tracking"]["C_conf"] = -1e9
+        e_cfg["tracking"]["min_match_frac"] = 0.0
+        e_cfg["local_opt"]["Q_conf"] = -1e9
+        e_cfg["local_opt"]["min_match_frac"] = 0.0
+        slam = SLAMSystem(
+            params=params, model_cfg=cfg, cfg=e_cfg, img_size=(h, w),
+        )
+        rng = np.random.default_rng(3)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = np.stack(
+            [np.sin(0.05 * xx), np.cos(0.07 * yy), np.sin(0.03 * (xx + yy))], -1
+        )
+        n_e2e = (3 if SMOKE else 16)
+        n_warm = 2 if SMOKE else 5
+        e_frames = [
+            (base + 0.02 * i
+             + 0.01 * rng.standard_normal((h, w, 3))).astype(np.float32)
+            for i in range(n_warm + n_e2e)
+        ]
+        for i in range(n_warm):
+            slam.process_frame(i, i / 30.0, e_frames[i])
+        wd.phase("e2e", 300)
+        t0 = time.perf_counter()
+        for i in range(n_warm, len(e_frames)):
+            slam.process_frame(i, i / 30.0, e_frames[i])
+        slam.finalize()
+        dt = (time.perf_counter() - t0) / n_e2e
+        _extra["e2e_slam_ms"] = round(dt * 1e3, 2)
+        _extra["e2e_slam_fps"] = round(1.0 / dt, 3)
+        emit("e2e_slam_fps_512x384_vitl", 1.0 / dt, "frames/s",
+             (1.0 / dt) / BASELINE_FPS,
+             note="full main.py loop: process_frame incl. host overheads, "
+                  "deferred sync, async backend, keyframing")
+    except Exception as e:
+        _extra["e2e_error"] = f"{type(e).__name__}: {e}"
+        print(f"e2e stage failed: {e!r}", file=sys.stderr, flush=True)
+
     wd.clear()
     emit_final()
 

@@ -41,7 +41,6 @@ from monst3r_slam_tpu.slam.frame import (
     Mode,
     fuse_pointmap,
     kf_append,
-    kf_get,
     kf_set,
     kf_update_poses,
     make_keyframe_memory,
@@ -163,7 +162,18 @@ def _track_update_body(
     mem_C = mem_C.at[kf_idx].set(jnp.where(ok, kC, mem_C[kf_idx]))
     mem_N = mem_N.at[kf_idx].set(jnp.where(ok, kN, mem_N[kf_idx]))
     mem_S = mem_S.at[kf_idx].set(jnp.where(ok, kS, mem_S[kf_idx]))
-    return mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res
+    # Everything the host must inspect per frame, packed into ONE small
+    # transfer: [T_WCf(0:8), low_match(8), solver_failed(9), new_kf(10)].
+    # Separate bool()/np.asarray() pulls each cost a relay round trip
+    # (~2 ms each); the per-frame host overhead was ~40 ms of exactly such
+    # dispatches (scripts/profile_defer.py).
+    summary = jnp.concatenate([
+        res.T_WCf,
+        jnp.stack([res.low_match, res.solver_failed, res.new_kf]).astype(
+            jnp.float32
+        ),
+    ])
+    return mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res, summary
 
 
 @partial(jax.jit, static_argnames=("track_cfg", "img_size", "use_calib", "fmode", "fscore"),
@@ -192,10 +202,17 @@ def _track_and_update(
 
     Keyframe memory arrays are donated so the update happens in place
     (an eager `.at[].set` would copy the full multi-GB buffers every frame).
+    Decode outputs are accepted in ANY layout and canonicalized here: an
+    eager host-side `.reshape(...)` per tensor is a separate relay dispatch
+    (~2 ms each); inside the program it is free.
     """
+    hw = img_size[0] * img_size[1]
     return _track_update_body(
-        mem_X, mem_C, mem_N, mem_S, kf_idx, idx_f2k, valid_match_k,
-        X1, C1, Q1, X2, C2, Q2, frame_X, frame_C, frame_N, frame_S,
+        mem_X, mem_C, mem_N, mem_S, kf_idx,
+        idx_f2k.reshape(hw), valid_match_k.reshape(hw, 1),
+        X1.reshape(hw, 3), C1.reshape(hw, 1), Q1.reshape(hw, 1),
+        X2.reshape(hw, 3), C2.reshape(hw, 1), Q2.reshape(hw, 1),
+        frame_X, frame_C, frame_N, frame_S,
         T_WCf, T_WCk, K, track_cfg, img_size, use_calib, fmode, fscore,
     )
 
@@ -237,15 +254,18 @@ def _match_track_and_update(
     from monst3r_slam_tpu.ops import matching_tiled
 
     h, w = img_size
+    hw = h * w
     idx_f2k, valid_match_k = matching_tiled.match_tiled(
         X1.reshape(1, h, w, 3), X2.reshape(1, h, w, 3),
         D1.reshape(1, h, w, -1), D2.reshape(1, h, w, -1),
-        idx_init[None],
+        idx_init.reshape(1, hw),
         cfg=mcfg, tcfg=tcfg, use_init=use_init, use_pallas=use_pallas,
     )
     outs = _track_update_body(
         mem_X, mem_C, mem_N, mem_S, kf_idx, idx_f2k[0], valid_match_k[0],
-        X1, C1, Q1, X2, C2, Q2, frame_X, frame_C, frame_N, frame_S,
+        X1.reshape(hw, 3), C1.reshape(hw, 1), Q1.reshape(hw, 1),
+        X2.reshape(hw, 3), C2.reshape(hw, 1), Q2.reshape(hw, 1),
+        frame_X, frame_C, frame_N, frame_S,
         T_WCf, T_WCk, K, track_cfg, img_size, use_calib, fmode, fscore,
     )
     return outs + (idx_f2k, valid_match_k)
@@ -329,6 +349,26 @@ class SLAMSystem:
         # and graph assembly are host work, and device programs from both
         # threads interleave on the chip's queue.
         self.single_thread = bool(self.cfg.get("single_thread", True))
+        # Host-side mirrors that avoid per-frame relay round trips (the
+        # dispatch floor is ~2 ms each; see scripts/profile_defer.py):
+        self.n_kf = 0  # host copy of int(self.mem.count)
+        self._kf_cache = None  # (kf_idx, (feat, pos, T_WC, idx_dev))
+        self._last_T_WC_dev = jnp.asarray(self.last_T_WC)  # device copy
+        self._frame_proto = (  # shared read-only zero buffers for make_frame
+            jnp.zeros((self.hw, 3)), jnp.zeros((self.hw, 1)),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32),
+        )
+        self._idx_zero = jnp.zeros((1, self.hw), jnp.int32)  # cold warm-start
+        # Cross-frame overlap: defer the host sync on each frame's tracking
+        # result until after the NEXT frame's encoder is dispatched, hiding
+        # ~10 ms of encode under the wait. Decisions and recorded poses are
+        # identical — only made one call later (see _resolve_pending). Like
+        # the async backend, it defaults on in production mode and off in the
+        # deterministic `single_thread` eval mode.
+        self.defer_sync = bool(
+            self.cfg.get("defer_tracking_sync", not self.single_thread)
+        )
+        self._pending = None  # un-resolved tracking result of the last frame
         self.backend_stall_s = 0.0  # main-thread time blocked on backend work
         self._last_viz_push = 0.0
         # Viewer control channel (reference WindowMsg, visualization.py:33-39)
@@ -389,19 +429,19 @@ class SLAMSystem:
         return Frame(
             frame_id=jnp.asarray(frame_id, jnp.int32),
             img=img,
-            T_WC=jnp.asarray(self.last_T_WC),
-            X_canon=jnp.zeros((self.hw, 3)),
-            C=jnp.zeros((self.hw, 1)),
-            N=jnp.zeros((), jnp.int32),
-            N_updates=jnp.zeros((), jnp.int32),
-            feat=feat[0],
-            pos=pos[0],
-            score=jnp.zeros((), jnp.float32),
+            T_WC=self._last_T_WC_dev,
+            X_canon=self._frame_proto[0],
+            C=self._frame_proto[1],
+            N=self._frame_proto[2],
+            N_updates=self._frame_proto[2],
+            feat=feat,  # batched (1, n, d): fed straight to the decoder
+            pos=pos,
+            score=self._frame_proto[3],
         )
 
     def _mono_init(self, frame: Frame) -> Frame:
         out = self._decode_pair(
-            frame.feat[None], frame.pos[None], frame.feat[None], frame.pos[None]
+            frame.feat, frame.pos, frame.feat, frame.pos
         )
         X = out.X1[0].reshape(self.hw, 3)
         C = out.C1[0].reshape(self.hw, 1)
@@ -411,6 +451,23 @@ class SLAMSystem:
         )
         return dataclasses.replace(frame, X_canon=X_f, C=C_f, N=N_f, score=S_f)
 
+    def _kf_view(self, kf_idx: int):
+        """Cached (feat, pos, T_WC, idx_dev) row view of the tracking
+        keyframe. Eagerly slicing the keyframe out of memory every frame
+        costs ~10 relay dispatches; the view only changes on keyframe
+        append, relocalization, backend pose write-back, or state load —
+        all of which clear the cache."""
+        c = self._kf_cache
+        if c is not None and c[0] == kf_idx:
+            return c[1]
+        view = (
+            self.mem.feat[kf_idx : kf_idx + 1],  # batched, decoder-ready
+            self.mem.pos[kf_idx : kf_idx + 1],
+            self.mem.T_WC[kf_idx], jnp.asarray(kf_idx, jnp.int32),
+        )
+        self._kf_cache = (kf_idx, view)
+        return view
+
     # ------------------------------------------------------------------
     # Retrieval
     # ------------------------------------------------------------------
@@ -419,7 +476,7 @@ class SLAMSystem:
         if self.retrieval_db is None:
             return []
         feats = retrieval_mod.prep_features(
-            self.retrieval_params, frame.feat[None]
+            self.retrieval_params, frame.feat.reshape(1, *frame.feat.shape[-2:])
         )
         with self._retr_lock:  # DB is host state shared with the async worker
             return self.retrieval_db.update(
@@ -512,6 +569,7 @@ class SLAMSystem:
     def save_state(self, path):
         import numpy as np
 
+        self._resolve_pending()  # snapshot must include the last frame's decisions
         n = int(self.mem.count)
         h, w = self.img_size
         # Host-side per-keyframe state (uimg colors the PLY export, dyn_masks
@@ -571,6 +629,8 @@ class SLAMSystem:
                 mem, **{name: arr.at[:n].set(jnp.asarray(data[key]))}
             )
         self.mem = dataclasses.replace(mem, count=jnp.asarray(n, jnp.int32))
+        self.n_kf = n
+        self._kf_cache = None
         ne = data["graph_ii"].shape[0]
         self.graph._grow(ne)
         self.graph.ii[:ne] = data["graph_ii"]
@@ -585,6 +645,7 @@ class SLAMSystem:
         self.frame_ids = [int(i) for i in data["frame_ids"]]
         self.mode = Mode(int(data["mode"]))
         self.last_T_WC = data["last_T_WC"]
+        self._last_T_WC_dev = jnp.asarray(self.last_T_WC)
         self.kf_uimgs = [None] * n
         self.kf_dyn_masks = [None] * n
         if "kf_uimg" in data:  # checkpoints written before host state was saved
@@ -684,12 +745,14 @@ class SLAMSystem:
             self.mem = kf_update_poses(
                 self.mem, Twc_new[:n_kf], jnp.arange(n_kf)
             )
+            self._kf_cache = None  # cached kf T_WC is stale now
             applied = True
         return applied
 
     def finalize(self):
         """Drain pending async backend work and apply results (gives the
         async mode a deterministic final state for export)."""
+        self._resolve_pending()  # last frame's deferred tracking decisions
         if self._worker is not None:
             self._backend_jobs.join()
         self._apply_backend_results()
@@ -711,6 +774,8 @@ class SLAMSystem:
         kf_idx = int(self.mem.count)
         frame = dataclasses.replace(frame, T_WC=self.mem.T_WC[retrieved[0]])
         self.mem = kf_append(self.mem, frame)
+        self.n_kf = kf_idx + 1
+        self._kf_cache = None
         self._set_kf_uimg(kf_idx, self.cur_uimg)
         with self._graph_lock:
             ok = self.add_factors(
@@ -725,10 +790,13 @@ class SLAMSystem:
             with self._graph_lock:
                 self.solve_backend()
             self.last_T_WC = np.asarray(self.mem.T_WC[kf_idx])
+            self._last_T_WC_dev = self.mem.T_WC[kf_idx]
             return True
         # Roll back the tentative keyframe (add-then-maybe-pop hazard noted
         # at main_monster_slam.py:29-31 — trivial here: functional state)
         self.mem = dataclasses.replace(self.mem, count=self.mem.count - 1)
+        self.n_kf -= 1
+        self._kf_cache = None
         return False
 
     # ------------------------------------------------------------------
@@ -768,12 +836,21 @@ class SLAMSystem:
         self._apply_backend_results()  # async pose write-back between frames
         self.timestamps.append(timestamp)
         self.cur_uimg = uimg
+        # Encode THIS frame before resolving the previous frame's tracking
+        # result: the encoder depends only on pixels, so its ~10 ms of device
+        # time executes while the host blocks on frame t-1's result below
+        # (cross-frame overlap, VERDICT r2 weak #2). The pose attached by
+        # make_frame may be one frame stale; it is refreshed after resolve.
         frame = self.make_frame(frame_id, img_np)
+        self._resolve_pending()  # frame t-1: RELOC/new-keyframe decisions
+        frame = dataclasses.replace(frame, T_WC=self._last_T_WC_dev)
 
         if self.mode == Mode.INIT:
             frame = self._mono_init(frame)
             self.mem = kf_append(self.mem, frame)
-            self._set_kf_uimg(int(self.mem.count) - 1, uimg)
+            self.n_kf = int(self.mem.count)
+            self._kf_cache = None
+            self._set_kf_uimg(self.n_kf - 1, uimg)
             self._retrieve(frame, add_after_query=True)
             self.mode = Mode.TRACKING
             self._record_pose(frame_id, frame.T_WC)
@@ -783,14 +860,16 @@ class SLAMSystem:
             frame = self._mono_init(frame)
             if self.relocalize(frame):
                 self.mode = Mode.TRACKING
-            self._record_pose(frame_id, jnp.asarray(self.last_T_WC))
+            self._record_pose(frame_id, self.last_T_WC)
             return
 
-        # TRACKING
-        kf_idx = int(self.mem.count) - 1
-        kf = kf_get(self.mem, kf_idx)
+        # TRACKING (keyframe target via the cached per-keyframe view: the
+        # 10 eager `kf_get` row slices are ~10 relay dispatches per frame,
+        # but the slice only changes on keyframe/backend events)
+        kf_idx = self.n_kf - 1
+        kf_feat, kf_pos, kf_T_WC, kf_idx_dev = self._kf_view(kf_idx)
         out = self._decode_pair(
-            frame.feat[None], frame.pos[None], kf.feat[None], kf.pos[None]
+            frame.feat, frame.pos, kf_feat, kf_pos
         )
 
         # Dynamic-object filtering (tracker2.py:79-122): zero frame-side
@@ -815,7 +894,7 @@ class SLAMSystem:
 
                 depth_i = out.X1[0, ..., 2]
                 m = dyn.get_dynamic_mask(
-                    uimg, kf_uimg, frame.T_WC, kf.T_WC, depth_i, self.K,
+                    uimg, kf_uimg, frame.T_WC, kf_T_WC, depth_i, self.K,
                     threshold=self.dyn_threshold, refine=self.dyn_refine,
                     refiner=(
                         self._mask_propagator.as_refiner()
@@ -904,21 +983,18 @@ class SLAMSystem:
             # Matching fused into the tracking program: one dispatch for
             # match -> fusion -> GN -> keyframe update.
             use_init = self.idx_f2k is not None
-            idx_init = (
-                self.idx_f2k[0] if use_init
-                else jnp.zeros((self.hw,), jnp.int32)
-            )
-            (mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res,
+            idx_init = self.idx_f2k if use_init else self._idx_zero
+            # decode outputs go in native layout; the program reshapes
+            # internally (eager host reshapes are one relay dispatch each)
+            (mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res, summary,
              idx_f2k, valid_match_k) = _match_track_and_update(
                 self.mem.X_canon, self.mem.C, self.mem.N, self.mem.score,
-                jnp.asarray(kf_idx, jnp.int32),
-                out.X1.reshape(self.hw, 3), out.C1.reshape(self.hw, 1),
-                out.Q1.reshape(self.hw, 1), out.D1.reshape(self.hw, -1),
-                out.X2.reshape(self.hw, 3), out.C2.reshape(self.hw, 1),
-                out.Q2.reshape(self.hw, 1), out.D2.reshape(self.hw, -1),
+                kf_idx_dev,
+                out.X1, out.C1, out.Q1, out.D1,
+                out.X2, out.C2, out.Q2, out.D2,
                 idx_init,
                 frame.X_canon, frame.C, frame.N, frame.score,
-                frame.T_WC, kf.T_WC,
+                frame.T_WC, kf_T_WC,
                 self.K if self.K is not None else jnp.eye(3),
                 track_cfg=self.track_cfg,
                 img_size=self.img_size,
@@ -941,16 +1017,15 @@ class SLAMSystem:
 
             # Fused device program: frame fusion -> GN tracking -> keyframe
             # update (keyframe buffers donated, updated in place)
-            mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res = _track_and_update(
+            (mem_X, mem_C, mem_N, mem_S, fX, fC, fN, fS, res,
+             summary) = _track_and_update(
                 self.mem.X_canon, self.mem.C, self.mem.N, self.mem.score,
-                jnp.asarray(kf_idx, jnp.int32),
-                idx_f2k[0], valid_match_k[0],
-                out.X1.reshape(self.hw, 3), out.C1.reshape(self.hw, 1),
-                out.Q1.reshape(self.hw, 1),
-                out.X2.reshape(self.hw, 3), out.C2.reshape(self.hw, 1),
-                out.Q2.reshape(self.hw, 1),
+                kf_idx_dev,
+                idx_f2k, valid_match_k,
+                out.X1, out.C1, out.Q1,
+                out.X2, out.C2, out.Q2,
                 frame.X_canon, frame.C, frame.N, frame.score,
-                frame.T_WC, kf.T_WC,
+                frame.T_WC, kf_T_WC,
                 self.K if self.K is not None else jnp.eye(3),
                 track_cfg=self.track_cfg,
                 img_size=self.img_size,
@@ -963,29 +1038,54 @@ class SLAMSystem:
         )
         frame = dataclasses.replace(frame, X_canon=fX, C=fC, N=fN, score=fS)
 
-        # Debug: final valid_opt mask overlay (tracker2.py:180-206; same
-        # config key and default). Recomputed host-side from the program's
-        # outputs: valid_match & C/Q confidence gates.
+        dbg = None
         if (
             self.use_dynamic_mask
             and uimg is not None
             and self.cfg.get("debug_save_final_valid_opt_mask", True)
         ):
+            dbg = (idx_f2k, valid_match_k, out.Q1, out.Q2, fC, fN,
+                   mem_C[kf_idx], mem_N[kf_idx])
+        # The host-side decisions on `res` (RELOC check, pose write-back,
+        # keyframe addition) are deferred to the next frame so its encoder
+        # dispatch hides under this sync (config `defer_tracking_sync`).
+        self._pending = dict(
+            frame_id=frame_id, frame=frame, res=res, summary=summary,
+            uimg=uimg, dyn_mask=cur_dyn_mask, dbg=dbg,
+        )
+        if not self.defer_sync:
+            self._resolve_pending()
+
+    def _resolve_pending(self):
+        """Host-side decisions for the last dispatched tracking step (the
+        reference does these inline, tracker2.py:180-213; here they run one
+        frame late so encode(t+1) overlaps the device tail of track(t))."""
+        p = self._pending
+        if p is None:
+            return
+        self._pending = None
+        frame_id, frame, res = p["frame_id"], p["frame"], p["res"]
+
+        # Debug: final valid_opt mask overlay (tracker2.py:180-206; same
+        # config key and default). Recomputed host-side from the program's
+        # outputs: valid_match & C/Q confidence gates.
+        if p["dbg"] is not None:
             try:
                 from monst3r_slam_tpu.viz import debug as dbgviz
 
+                idx_f2k, valid_match_k, Q1, Q2, fC, fN, memC, memN = p["dbg"]
                 idx = np.asarray(idx_f2k[0] if idx_f2k.ndim > 1 else idx_f2k)
                 vm = np.asarray(valid_match_k).reshape(-1)
                 Qk = np.sqrt(
-                    np.asarray(out.Q1).reshape(-1)[idx]
-                    * np.asarray(out.Q2).reshape(-1)
+                    np.asarray(Q1).reshape(-1)[idx]
+                    * np.asarray(Q2).reshape(-1)
                 )
                 Cf = (
                     np.asarray(fC).reshape(-1)
                     / np.maximum(np.asarray(fN, np.float32).reshape(-1), 1.0)
                 )[idx]
-                Ck = np.asarray(mem_C[kf_idx]).reshape(-1) / np.maximum(
-                    np.asarray(mem_N[kf_idx], np.float32).reshape(-1), 1.0
+                Ck = np.asarray(memC).reshape(-1) / np.maximum(
+                    np.asarray(memN, np.float32).reshape(-1), 1.0
                 )
                 valid_opt = (
                     vm
@@ -996,31 +1096,38 @@ class SLAMSystem:
                 dbgviz.save_mask_overlay(
                     self._debug_dir("debug_final_valid_opt_mask")
                     / f"frame_{frame_id:06d}_final_opt.png",
-                    uimg, valid_opt, color=(0, 255, 0), alpha=0.5,
+                    p["uimg"], valid_opt, color=(0, 255, 0), alpha=0.5,
                 )
             except Exception as e:
                 print(f"valid_opt overlay failed for {frame_id}: {e}")
 
-        if bool(res.low_match) or bool(res.solver_failed):
+        # ONE device->host transfer for all per-frame decisions:
+        # [T_WCf(0:8), low_match(8), solver_failed(9), new_kf(10)]
+        sv = np.asarray(p["summary"])
+        if sv[8] > 0.5 or sv[9] > 0.5:  # low_match | solver_failed
             self.mode = Mode.RELOC
             self.idx_f2k = None
             if self._mask_propagator is not None:
                 self._mask_propagator.reset()  # stale masks must not seed post-reloc frames
-            self._record_pose(frame_id, jnp.asarray(self.last_T_WC))
+            self._record_pose(frame_id, self.last_T_WC)
             return
 
         frame = dataclasses.replace(frame, T_WC=res.T_WCf)
-        self.last_T_WC = np.asarray(res.T_WCf)
+        self.last_T_WC = sv[:8]
+        self._last_T_WC_dev = res.T_WCf
 
-        if bool(res.new_kf):
+        if sv[10] > 0.5:  # new_kf
             self.idx_f2k = None
-            new_idx = int(self.mem.count)
+            new_idx = self.n_kf
             self.mem = kf_append(self.mem, frame)
-            self._set_kf_uimg(new_idx, uimg, dyn_mask=cur_dyn_mask)
+            self.n_kf += 1
+            self._kf_cache = None
+            self._set_kf_uimg(new_idx, p["uimg"], dyn_mask=p["dyn_mask"])
             self.backend_step(new_idx, frame)
             self.last_T_WC = np.asarray(self.mem.T_WC[new_idx])
+            self._last_T_WC_dev = self.mem.T_WC[new_idx]
 
-        self._record_pose(frame_id, jnp.asarray(self.last_T_WC))
+        self._record_pose(frame_id, self.last_T_WC)
 
     def _debug_dir(self, name: str):
         """logs/<dataset>/<sequence>/<name> (tracker2.py:150-153 layout)."""

@@ -44,7 +44,9 @@ class Frame:
       X_canon: (hw, 3) canonical pointmap
       C:       (hw, 1) accumulated confidence
       N:       () int32 fusion count
-      feat:    (n, enc_dim) cached encoder features
+      feat:    (n, enc_dim) cached encoder features — the live pipeline
+               keeps them batched (1, n, enc_dim) to feed the decoder without
+               per-frame reslicing; kf_set canonicalizes on write
       pos:     (n, 2) patch positions
       score:   () best-score fusion statistic (frame.py:75-86; only
                meaningful under filtering_mode == "best_score")
@@ -228,8 +230,8 @@ def kf_set(mem: KeyframeMemory, idx: jax.Array, frame: Frame) -> KeyframeMemory:
         C=mem.C.at[idx].set(frame.C),
         N=mem.N.at[idx].set(frame.N),
         N_updates=mem.N_updates.at[idx].set(frame.N_updates),
-        feat=mem.feat.at[idx].set(frame.feat),
-        pos=mem.pos.at[idx].set(frame.pos),
+        feat=mem.feat.at[idx].set(frame.feat.reshape(mem.feat.shape[1:])),
+        pos=mem.pos.at[idx].set(frame.pos.reshape(mem.pos.shape[1:])),
         score=mem.score.at[idx].set(frame.score),
         count=jnp.maximum(mem.count, idx + 1),
     )

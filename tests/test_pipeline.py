@@ -253,3 +253,41 @@ def test_fused_match_track_equals_split(slam):
         np.asarray(res_f.T_WCf), np.asarray(res_s.T_WCf), atol=1e-6)
     for a, b in zip(outs_split[:8], outs_fused[:8]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def _run_video(defer, n=6):
+    cfg = load_config("config/base.yaml")
+    cfg["single_thread"] = True  # deterministic backend for the comparison
+    cfg["defer_tracking_sync"] = defer
+    cfg["tracking"]["Q_conf"] = -1e9
+    cfg["tracking"]["C_conf"] = -1e9
+    cfg["tracking"]["min_match_frac"] = 0.0
+    cfg["local_opt"]["Q_conf"] = -1e9
+    cfg["local_opt"]["min_match_frac"] = 0.0
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    s = SLAMSystem(
+        params=params, model_cfg=TINY, cfg=cfg, img_size=(H, W), kf_capacity=16
+    )
+    for i, img in enumerate(synth_video(n)):
+        s.process_frame(i, float(i) / 30.0, img)
+    s.finalize()
+    return s
+
+
+def test_deferred_sync_matches_synchronous():
+    """`defer_tracking_sync` (cross-frame encode overlap) must not change any
+    observable result — same poses, same keyframes — only WHEN the host
+    decisions are made (one process_frame call later)."""
+    sync = _run_video(False)
+    defer = _run_video(True)
+    assert defer._pending is None  # finalize resolved the tail frame
+    assert len(defer.frame_poses) == len(sync.frame_poses)
+    np.testing.assert_allclose(
+        np.stack(defer.frame_poses), np.stack(sync.frame_poses), atol=1e-6
+    )
+    assert int(defer.mem.count) == int(sync.mem.count)
+    n_kf = int(sync.mem.count)
+    np.testing.assert_allclose(
+        np.asarray(defer.mem.T_WC[:n_kf]), np.asarray(sync.mem.T_WC[:n_kf]),
+        atol=1e-6,
+    )
