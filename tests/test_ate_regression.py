@@ -316,7 +316,8 @@ def _loop_trajectory(n):
     return poses
 
 
-def _run_noisy(n_frames, with_backend, break_frames=(), retrieval=True):
+def _run_noisy(n_frames, with_backend, break_frames=(), retrieval=True,
+               defer=False):
     from monst3r_slam_tpu.slam import retrieval as retrieval_mod
 
     cfg = load_config("config/base.yaml")
@@ -325,6 +326,7 @@ def _run_noisy(n_frames, with_backend, break_frames=(), retrieval=True):
     cfg["local_opt"]["Q_conf"] = 1.2
     cfg["tracking"]["match_frac_thresh"] = 0.925
     cfg["single_thread"] = True
+    cfg["defer_tracking_sync"] = defer
     cfg["retrieval"] = {"k": 3, "min_thresh": 1e-4}
 
     kwargs = {}
@@ -393,3 +395,24 @@ def test_reloc_recovers_from_tracking_break():
     assert modes[-1] == Mode.TRACKING, "never relocalized back to TRACKING"
     assert any(m == Mode.TRACKING for m in modes[i_reloc + 1 :])
     assert np.isfinite(rmse)
+
+
+def test_reloc_recovers_in_deferred_mode():
+    """The deferred-sync path (cross-frame encode overlap) must handle the
+    full break -> RELOC -> retrieval -> recovery cycle and produce the SAME
+    trajectory as the synchronous path — RELOC entry is observed one
+    process_frame later, but every recorded pose is identical."""
+    from monst3r_slam_tpu.slam.frame import Mode
+
+    n = 12
+    rmse_s, slam_s, modes_s = _run_noisy(n, with_backend=True, break_frames={5})
+    rmse_d, slam_d, modes_d = _run_noisy(
+        n, with_backend=True, break_frames={5}, defer=True
+    )
+    assert Mode.RELOC in modes_d, "deferred mode never entered RELOC"
+    assert modes_d[-1] == Mode.TRACKING, "deferred mode never recovered"
+    assert len(slam_d.frame_poses) == len(slam_s.frame_poses)
+    np.testing.assert_allclose(
+        np.stack(slam_d.frame_poses), np.stack(slam_s.frame_poses), atol=1e-5
+    )
+    np.testing.assert_allclose(rmse_d, rmse_s, atol=1e-6)
