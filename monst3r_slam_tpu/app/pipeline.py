@@ -424,8 +424,11 @@ class SLAMSystem:
     # ------------------------------------------------------------------
 
     def make_frame(self, frame_id: int, img_np: np.ndarray) -> Frame:
-        img = jnp.asarray(img_np)  # (h, w, 3) normalized
-        feat, pos = self.encode(img[None])
+        # Upload already batched (np expand_dims is free; an eager device
+        # `img[None]` would be one more relay dispatch). Frame.img is never
+        # consumed device-side in the live path (exports use host kf_uimgs).
+        img = jnp.asarray(img_np[None] if img_np.ndim == 3 else img_np)
+        feat, pos = self.encode(img)
         return Frame(
             frame_id=jnp.asarray(frame_id, jnp.int32),
             img=img,
