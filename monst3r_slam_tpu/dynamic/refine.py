@@ -250,7 +250,13 @@ class TemporalMaskPropagator:
         from monst3r_slam_tpu.dynamic import mask as _mask_mod
 
         base = _mask_mod._mask_refiner
-        if base is not None and base is not self:
+        # never call back into ourselves: the installed refiner may be this
+        # propagator itself OR its as_refiner() closure (tagged below)
+        if (
+            base is not None
+            and base is not self
+            and getattr(base, "_temporal_propagator", None) is not self
+        ):
             refined = np.asarray(
                 base(img_u8, err_norm, seeds, threshold, min_area), bool
             )
@@ -282,4 +288,7 @@ class TemporalMaskPropagator:
                 flow_fn=flow_fn, use_grabcut=use_grabcut,
             )
 
+        # tag so __call__ can recognize its own adapter if it is installed
+        # globally via set_mask_refiner (would otherwise recurse forever)
+        refiner._temporal_propagator = self
         return refiner

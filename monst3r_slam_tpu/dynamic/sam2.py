@@ -220,7 +220,9 @@ def _hiera_block(p, x, heads, ws, q_stride):
 
 def hiera_forward(p, cfg: SAM2Config, x):
     """x (B, H, W, 3) normalized -> list of 4 stage outputs (1/4..1/32)."""
-    x = _conv2d(p["patch_embed"], x, stride=4)  # 7x7/s4, (B, H/4, W/4, C)
+    # 7x7/s4 with explicit (3, 3) padding: torch's PatchEmbed pads 3 on
+    # BOTH sides; XLA "SAME" would pad (1, 2) and shift every window ~2 px.
+    x = _conv2d(p["patch_embed"], x, stride=4, padding=((3, 3), (3, 3)))
     B, H, W, C = x.shape
     # pos embed: background interpolated to (H, W) + tiled window embed
     pe = jax.image.resize(
@@ -241,10 +243,14 @@ def hiera_forward(p, cfg: SAM2Config, x):
     for blk in p["blocks"]:
         is_global = idx in cfg.global_att_blocks
         q_stride = 2 if idx in q_pool_blocks else 1
+        # official hieradet.py computes window_size BEFORE the stage
+        # increment ("lags by a block"): a stage-transition block runs at the
+        # PREVIOUS stage's window while already using the new width/heads
+        ws_stage = stage
         if q_stride > 1:
             stage += 1
             heads = heads * 2
-        ws = 0 if is_global else cfg.window_spec[stage]
+        ws = 0 if is_global else cfg.window_spec[ws_stage]
         x = _hiera_block(blk, x, heads, ws, q_stride)
         if idx in stage_ends:
             outs.append(x)
@@ -255,7 +261,11 @@ def hiera_forward(p, cfg: SAM2Config, x):
 def neck_forward(p, cfg: SAM2Config, feats):
     """FPN neck: 1x1 conv each scale to d_model; top-down sum fusion on the
     two lowest-res levels (fpn_top_down_levels=[2,3] in the sam2 configs,
-    i.e. 1/16 and 1/32). Returns [1/4, 1/8, 1/16, 1/32] at d_model ch."""
+    i.e. 1/16 and 1/32). Returns [1/4, 1/8, 1/16, 1/32] at d_model ch.
+
+    `p["convs"]` is stored ASCENDING (convs[i] consumes feats[i], 1/4 first);
+    the official checkpoint stores them DESCENDING (convs.0 = 1/32, matching
+    backbone_channel_list=[896, 448, ...]) — the converter reverses."""
     lat = [_conv2d(pc, f) for pc, f in zip(p["convs"], feats)]
     out = [None] * len(lat)
     prev = None
@@ -325,7 +335,7 @@ def dense_pe(p, hw):
 
 def _twoway_layer(p, cfg, tokens, img, tok_pe, img_pe, skip_first_pe):
     q = tokens if skip_first_pe else tokens + tok_pe
-    tokens = tokens + _linear(
+    attn_out = _linear(
         p["self_attn"]["out"],
         _attention(
             _linear(p["self_attn"]["q"], q),
@@ -334,6 +344,9 @@ def _twoway_layer(p, cfg, tokens, img, tok_pe, img_pe, skip_first_pe):
             cfg.dec_heads,
         ),
     )
+    # official TwoWayAttentionBlock: the skip_first_layer_pe layer REPLACES
+    # the queries with the attention output (no residual); later layers add
+    tokens = attn_out if skip_first_pe else tokens + attn_out
     tokens = _layer_norm(p["norm1"], tokens)
     # token -> image cross attention (queries downscaled to C/2 in SAM)
     tokens = tokens + _linear(
@@ -447,7 +460,9 @@ def sam2_encode(params, cfg: SAM2Config, img):
     # project high-res skips to the decoder's skip widths
     hr0 = _conv2d(params["dec"]["skip0"], fpn[0])  # 1/4 -> d/8
     hr1 = _conv2d(params["dec"]["skip1"], fpn[1])  # 1/8 -> d/4
-    return fpn[2], hr0, hr1
+    # the image predictor always adds the learned no-memory embedding to the
+    # SAM-decoder feature level (sam2_base.py `directly_add_no_mem_embed`)
+    return fpn[2] + params["no_mem_embed"], hr0, hr1
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -465,8 +480,11 @@ def sam2_decode(params, cfg: SAM2Config, img_emb, hr0, hr1, points01, labels):
 
     pe = dense_pe(params["prompt"], img_emb.shape[1:3])
     sparse = encode_points(params["prompt"], cfg, points01, labels)
+    # with no mask prompt, the prompt encoder's dense output is the learned
+    # no_mask_embed broadcast over the grid; predict_masks adds it to src
+    src = img_emb + params["prompt"]["no_mask_embed"]
     masks, iou = mask_decoder(
-        params["dec"], cfg, bcast(img_emb), pe, sparse, [bcast(hr0), bcast(hr1)]
+        params["dec"], cfg, bcast(src), pe, sparse, [bcast(hr0), bcast(hr1)]
     )
     M = masks.shape[1]
     h4, w4 = masks.shape[2], masks.shape[3]
@@ -485,6 +503,37 @@ def sam2_image_forward(params, cfg: SAM2Config, img, points01, labels):
     return sam2_decode(params, cfg, img_emb, hr0, hr1, points01, labels)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def sam2_decode_select(params, cfg: SAM2Config, img_emb, hr0, hr1,
+                       points01, labels):
+    """Decode + device-side best-mask selection for the SLAM refiner.
+
+    Selects among the MULTIMASK tokens only (tokens 1..3 — token 0 is the
+    official single-mask output, never mixed into multimask selection),
+    thresholds at logit 0 on device, and returns the H/4-resolution boolean
+    masks: a (B, S/4, S/4) bool transfer instead of shipping the full
+    (B, 4, S, S) f32 logits (~64 MB at S=1024) to the host.
+
+    Returns (best_mask (B, H4, W4) bool, best_iou (B,)).
+    """
+    B = points01.shape[0]
+
+    def bcast(t):
+        return jnp.broadcast_to(t, (B,) + t.shape[1:])
+
+    pe = dense_pe(params["prompt"], img_emb.shape[1:3])
+    sparse = encode_points(params["prompt"], cfg, points01, labels)
+    src = img_emb + params["prompt"]["no_mask_embed"]
+    masks, iou = mask_decoder(
+        params["dec"], cfg, bcast(src), pe, sparse, [bcast(hr0), bcast(hr1)]
+    )
+    multi, miou = masks[:, 1:], iou[:, 1:]
+    best = jnp.argmax(miou, axis=1)
+    sel = jnp.take_along_axis(multi, best[:, None, None, None], axis=1)[:, 0]
+    best_iou = jnp.take_along_axis(miou, best[:, None], axis=1)[:, 0]
+    return sel > 0.0, best_iou
+
+
 # ---------------------------------------------------------------------------
 # SLAM refiner adapter (dynamic.mask.set_mask_refiner-compatible)
 # ---------------------------------------------------------------------------
@@ -492,15 +541,18 @@ def sam2_image_forward(params, cfg: SAM2Config, img, points01, labels):
 
 class Sam2Refiner:
     """Per-frame SAM2 refinement of the flow-error mask, seeded by
-    connected-component centroids — the reference's exact seeding scheme
+    connected-component centroids — the reference's seeding scheme
     (`monst3r_utils.py:651-680`: CCs >= min_area px -> one positive point
     prompt per object). Objects decode as one batch on one shared encoder
-    pass; the union of best-IoU masks (gated at `iou_floor`) replaces the
-    raw mask. Pairs with TemporalMaskPropagator for cross-frame carry.
+    pass; each component whose best multimask clears `iou_floor` is REPLACED
+    by its SAM2 mask, while unprompted / rejected components keep their raw
+    flow-error pixels (a moving object must never silently re-enter the
+    static set just because the prompt budget ran out). Pairs with
+    TemporalMaskPropagator for cross-frame carry.
     """
 
     def __init__(self, params, cfg: SAM2Config = SAM2_BASE_PLUS,
-                 max_objects: int = 4, iou_floor: float = 0.3):
+                 max_objects: int = 8, iou_floor: float = 0.3):
         self.params = params
         self.cfg = cfg
         self.max_objects = max_objects
@@ -509,42 +561,59 @@ class Sam2Refiner:
     def __call__(self, img_u8, err_norm, raw_mask, threshold, min_area):
         import cv2
 
-        from monst3r_slam_tpu.dynamic.mask import connected_component_centroids
-
         h, w = raw_mask.shape
-        cents = connected_component_centroids(raw_mask, min_area)
-        if not cents:
+        raw_mask = np.asarray(raw_mask, bool)
+        n_lbl, labels, stats, cents = cv2.connectedComponentsWithStats(
+            raw_mask.astype(np.uint8), connectivity=8
+        )
+        # component ids >= min_area, largest first (under a full prompt
+        # budget the big movers matter most)
+        comp = [
+            (int(stats[i, cv2.CC_STAT_AREA]), i, cents[i])
+            for i in range(1, n_lbl)
+            if stats[i, cv2.CC_STAT_AREA] >= min_area
+        ]
+        comp.sort(reverse=True)
+        if not comp:
             return raw_mask
+        B = self.max_objects
+        if len(comp) > B:
+            print(
+                f"Sam2Refiner: {len(comp)} components exceed the prompt "
+                f"budget ({B}); the smallest {len(comp) - B} keep their raw "
+                "flow-error pixels"
+            )
         S = self.cfg.img_size
         img01 = cv2.resize(
             np.asarray(img_u8[..., :3], np.uint8), (S, S),
             interpolation=cv2.INTER_AREA,
         ).astype(np.float32) / 255.0
         # fixed-size object batch (static shapes): pad with not-a-point rows
-        B = self.max_objects
         pts = np.zeros((B, 1, 2), np.float32)
         lbs = -np.ones((B, 1), np.int32)
-        for i, (cx, cy) in enumerate(cents[:B]):
+        for i, (_, _, (cx, cy)) in enumerate(comp[:B]):
             pts[i, 0] = (cx / w, cy / h)
             lbs[i, 0] = 1
-        masks, iou = sam2_image_forward(
-            self.params, self.cfg, jnp.asarray(img01)[None],
+        img_emb, hr0, hr1 = sam2_encode(
+            self.params, self.cfg, jnp.asarray(img01)[None]
+        )
+        sel, iou = sam2_decode_select(
+            self.params, self.cfg, img_emb, hr0, hr1,
             jnp.asarray(pts), jnp.asarray(lbs),
         )
-        masks = np.asarray(masks)  # (B, M, S, S) logits
+        sel = np.asarray(sel)  # (B, S/4, S/4) bool — small transfer
         iou = np.asarray(iou)
-        out = np.zeros((S, S), bool)
-        n_real = min(len(cents), B)
-        for i in range(n_real):
-            m_best = int(np.argmax(iou[i]))
-            if iou[i, m_best] < self.iou_floor:
-                continue
-            out |= masks[i, m_best] > 0.0
-        if not out.any():
-            return raw_mask
-        return cv2.resize(
-            out.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
-        ).astype(bool)
+        out = raw_mask.copy()
+        for i, (_, comp_id, _) in enumerate(comp[:B]):
+            if iou[i] < self.iou_floor:
+                continue  # rejected: the component keeps its raw pixels
+            m = cv2.resize(
+                sel[i].astype(np.uint8), (w, h),
+                interpolation=cv2.INTER_NEAREST,
+            ).astype(bool)
+            out &= labels != comp_id  # replace this component...
+            out |= m  # ...with its SAM2 segmentation
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -631,6 +700,7 @@ def init_sam2_params(key, cfg: SAM2Config = SAM2_BASE_PLUS):
         "point_neg": 0.02 * jax.random.normal(next(ks), (d,)),
         "point_pos": 0.02 * jax.random.normal(next(ks), (d,)),
         "not_a_point": 0.02 * jax.random.normal(next(ks), (d,)),
+        "no_mask_embed": 0.02 * jax.random.normal(next(ks), (d,)),
     }
 
     def twoway_layer():
@@ -675,7 +745,10 @@ def init_sam2_params(key, cfg: SAM2Config = SAM2_BASE_PLUS):
             _lin_p(next(ks), d, M),
         ],
     }
-    return {"trunk": trunk, "neck": neck, "prompt": prompt, "dec": dec}
+    return {
+        "trunk": trunk, "neck": neck, "prompt": prompt, "dec": dec,
+        "no_mem_embed": 0.02 * jax.random.normal(next(ks), (1, 1, 1, d)),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -757,10 +830,14 @@ def sam2_params_from_torch(path: str, cfg: SAM2Config = SAM2_BASE_PLUS):
         "blocks": blocks,
     }
 
+    # the checkpoint's neck convs are ordered DESCENDING (convs.0 consumes
+    # the 1/32, widest feature — backbone_channel_list=[896, 448, 224, 112]);
+    # neck_forward stores them ASCENDING to zip with the stage outputs
+    n_lv = len(cfg.stages)
     neck = {
         "convs": [
-            cv(f"image_encoder.neck.convs.{i}.conv")
-            for i in range(len(cfg.stages))
+            cv(f"image_encoder.neck.convs.{n_lv - 1 - i}.conv")
+            for i in range(n_lv)
         ]
     }
 
@@ -771,6 +848,7 @@ def sam2_params_from_torch(path: str, cfg: SAM2Config = SAM2_BASE_PLUS):
         "point_neg": sd[f"{pk}.point_embeddings.0.weight"][0],
         "point_pos": sd[f"{pk}.point_embeddings.1.weight"][0],
         "not_a_point": sd[f"{pk}.not_a_point_embed.weight"][0],
+        "no_mask_embed": sd[f"{pk}.no_mask_embed.weight"][0],
     }
 
     dk = "sam_mask_decoder"
@@ -813,5 +891,9 @@ def sam2_params_from_torch(path: str, cfg: SAM2Config = SAM2_BASE_PLUS):
             lin(f"{dk}.iou_prediction_head.layers.{j}") for j in range(3)
         ],
     }
-    params = {"trunk": trunk, "neck": neck, "prompt": prompt, "dec": dec}
+    params = {
+        "trunk": trunk, "neck": neck, "prompt": prompt, "dec": dec,
+        # (1, 1, d) in the checkpoint; broadcast over (B, H, W, d) here
+        "no_mem_embed": sd["no_mem_embed"].reshape(1, 1, 1, -1),
+    }
     return jax.tree.map(jnp.asarray, params)

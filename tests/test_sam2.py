@@ -112,8 +112,10 @@ def _fabricate_torch_sd(params, cfg):
         lin(f"{b}.mlp.layers.1", blk["mlp"]["fc2"])
         if "proj" in blk:
             lin(f"{b}.proj", blk["proj"])
+    # checkpoint neck convs are DESCENDING (convs.0 = 1/32); params ascending
+    n_lv = len(params["neck"]["convs"])
     for i, c in enumerate(params["neck"]["convs"]):
-        cv(f"image_encoder.neck.convs.{i}.conv", c)
+        cv(f"image_encoder.neck.convs.{n_lv - 1 - i}.conv", c)
 
     pk = "sam_prompt_encoder"
     pr = params["prompt"]
@@ -128,6 +130,12 @@ def _fabricate_torch_sd(params, cfg):
     )
     sd[f"{pk}.not_a_point_embed.weight"] = torch.from_numpy(
         np.asarray(pr["not_a_point"])[None].copy()
+    )
+    sd[f"{pk}.no_mask_embed.weight"] = torch.from_numpy(
+        np.asarray(pr["no_mask_embed"])[None].copy()
+    )
+    sd["no_mem_embed"] = torch.from_numpy(
+        np.asarray(params["no_mem_embed"])[0].copy()  # (1, 1, d) in the ckpt
     )
 
     dk = "sam_mask_decoder"
@@ -242,5 +250,61 @@ def test_refiner_installs_into_mask_pipeline():
             threshold=0.35, refine=True,
         )
         assert m.shape == (h, w)
+    finally:
+        dyn.set_mask_refiner(None)
+
+
+def test_patch_embed_padding_matches_torch():
+    """7x7/s4 patch embed must pad (3, 3) like torch, not XLA-SAME (1, 2)."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    wt = rng.normal(size=(8, 3, 7, 7)).astype(np.float32)  # torch OIHW
+    b = rng.normal(size=(8,)).astype(np.float32)
+    ref = torch.nn.functional.conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(wt),
+        torch.from_numpy(b), stride=4, padding=3,
+    ).numpy().transpose(0, 2, 3, 1)
+    p = {"w": jnp.asarray(wt.transpose(2, 3, 1, 0)), "b": jnp.asarray(b)}
+    out = np.asarray(
+        sam2._conv2d(p, jnp.asarray(x), stride=4, padding=((3, 3), (3, 3)))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_refiner_keeps_unprompted_components():
+    """Components beyond the prompt budget must keep their raw flow-error
+    pixels — a moving object must not silently re-enter the static set."""
+    params = sam2.init_sam2_params(jax.random.PRNGKey(0), CFG)
+    ref = sam2.Sam2Refiner(params, CFG, max_objects=1, iou_floor=-1e9)
+    h, w = 48, 64
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (h, w, 3), np.uint8)
+    err = np.zeros((h, w), np.float32)
+    raw = np.zeros((h, w), bool)
+    raw[10:20, 12:22] = True  # big component (prompted)
+    raw[34:40, 44:52] = True  # small component (beyond the budget of 1)
+    out = ref(img, err, raw, 0.35, 8)
+    assert out[34:40, 44:52].all(), "unprompted component was dropped"
+
+
+def test_propagator_adapter_installed_globally_does_not_recurse():
+    """set_mask_refiner(prop.as_refiner()) is the documented wiring; the
+    propagator must recognize its own adapter instead of calling itself."""
+    from monst3r_slam_tpu.dynamic import mask as dyn
+    from monst3r_slam_tpu.dynamic.refine import TemporalMaskPropagator
+
+    prop = TemporalMaskPropagator()
+    dyn.set_mask_refiner(prop.as_refiner(use_grabcut=False))
+    try:
+        h, w = 32, 40
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        err = np.zeros((h, w), np.float32)
+        err[8:16, 8:16] = 0.9
+        raw = err > 0.35
+        out = prop(img, err, raw, 0.35, 4, use_grabcut=False)  # must terminate
+        assert out.shape == (h, w)
     finally:
         dyn.set_mask_refiner(None)
