@@ -75,12 +75,19 @@ def emit(metric, value, unit, vs_baseline, headline=False, **kw):
 
 
 def emit_final():
-    """Final line: the headline metric + everything measured, as `extra`."""
+    """Final line: the headline metric + everything measured, as `extra`.
+    Even with NO completed measurement, print a parseable record — rc=0 with
+    empty stdout would be strictly worse for diagnosis than a timeout."""
     with _lock:
         if _best is None:
-            return
-        rec = dict(_best)
-        rec["extra"] = dict(_extra)
+            rec = {
+                "metric": "tracking_fps_512x384_vitl", "value": 0.0,
+                "unit": "frames/s", "vs_baseline": 0.0,
+                "error": "no measurement completed", "extra": dict(_extra),
+            }
+        else:
+            rec = dict(_best)
+            rec["extra"] = dict(_extra)
         print(json.dumps(rec), flush=True)
 
 
@@ -262,7 +269,6 @@ def main():
     try:
         from monst3r_slam_tpu.dynamic import mask as dyn
         from monst3r_slam_tpu.dynamic import raft as raft_mod
-        from monst3r_slam_tpu.dynamic.refine import make_native_refiner
 
         mparams = cast_params_for_inference(
             init_params(jax.random.PRNGKey(7), mcfg_model)
@@ -273,7 +279,6 @@ def main():
         dyn.set_flow_error_program(
             raft_mod.make_fused_flow_error_program(raft_params, raft_cfg)
         )
-        refiner = make_native_refiner()
 
         rng = np.random.default_rng(0)
         base_u8 = rng.integers(0, 255, (h, w, 3), np.uint8)

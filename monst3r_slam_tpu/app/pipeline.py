@@ -380,6 +380,7 @@ class SLAMSystem:
         self._backend_jobs: queue.Queue = queue.Queue()
         self._backend_results: queue.Queue = queue.Queue()
         self._async_errors: List[BaseException] = []  # worker exceptions, re-raised on main thread
+        self._err_lock = threading.Lock()  # guards _async_errors (worker appends)
         self._worker: Optional[threading.Thread] = None
         if not self.single_thread:
             self._worker = threading.Thread(
@@ -727,7 +728,8 @@ class SLAMSystem:
                 traceback.print_exc()
                 # A poisoned backend job would otherwise silently degrade
                 # mapping quality; surface it on the next process_frame.
-                self._async_errors.append(e)
+                with self._err_lock:
+                    self._async_errors.append(e)
             finally:
                 self._backend_jobs.task_done()
 
@@ -735,9 +737,10 @@ class SLAMSystem:
         """Fold finished async solves into live keyframe poses (the
         reference's shared-memory write-back, frame.py:362); re-raise any
         backend-worker exception on the main thread."""
-        if self._async_errors:
-            exc = self._async_errors[0]
-            self._async_errors = []
+        with self._err_lock:
+            exc = self._async_errors.pop(0) if self._async_errors else None
+        if exc is not None:
+            # one raise per call; later errors stay queued for the next call
             raise RuntimeError("async backend worker failed") from exc
         applied = False
         while True:

@@ -69,6 +69,19 @@ class FramePrefetcher:
                 return
             except queue.Full:
                 continue
+        if item is self._SENTINEL:
+            # the sentinel must ALWAYS land, or a consumer blocked in get()
+            # after a cross-thread stop() hangs forever; drain one slot if
+            # the queue is full (its content is moot once stopped)
+            while True:
+                try:
+                    self._q.put_nowait(item)
+                    return
+                except queue.Full:
+                    try:
+                        self._q.get_nowait()
+                    except queue.Empty:
+                        pass
 
     def __iter__(self) -> Iterator[Tuple[int, float, dict]]:
         self._thread.start()

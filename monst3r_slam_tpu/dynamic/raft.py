@@ -147,13 +147,19 @@ def _bilinear_lookup_mm(vol, u, v):
     u0 = u0[..., None]
     Wv = jnp.where(rows == v0, 1.0 - dv, 0.0) + jnp.where(rows == v0 + 1, dv, 0.0)
     Wu = jnp.where(cols == u0, 1.0 - du, 0.0) + jnp.where(cols == u0 + 1, du, 0.0)
-    # f32 inputs with f32 accumulate: TPU einsum at default precision already
-    # computes in bf16, so a bf16 cast here would only change the HBM
-    # intermediates, and (N, K, hl/wl) weight tensors are transient anyway.
+    # HIGHEST precision: this backend runs default-precision f32 einsums on
+    # the MXU in bf16, which would round both the correlation volume and the
+    # (1-dv, dv) interpolation weights every GRU iteration and diverge from
+    # the f32 gather oracle (the CPU-backed parity test can't see that).
+    # The contraction is tiny (~13 MFLOP/level), so exactness is free here.
     tmp = jnp.einsum(
-        "nkh,nhw->nkw", Wv, vol, preferred_element_type=jnp.float32
+        "nkh,nhw->nkw", Wv, vol, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    return jnp.einsum("nkw,nkw->nk", tmp, Wu, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "nkw,nkw->nk", tmp, Wu, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def corr_lookup(pyr, flow, radius, use_mm: bool = True):

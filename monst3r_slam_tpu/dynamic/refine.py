@@ -88,6 +88,10 @@ def grabcut_refine(
         mask_s = cv2.resize(
             mask.astype(np.uint8), (ws, hs), interpolation=cv2.INTER_NEAREST
         ).astype(bool)
+        if not mask_s.any() or mask_s.all():
+            # thin masks can vanish under nearest-neighbor decimation; keep
+            # the documented input-mask fallback instead of returning empty
+            return mask
         out_s = grabcut_refine(
             img_s, mask_s, iters=iters, margin=max(margin // scale, 2), scale=1
         )

@@ -249,7 +249,7 @@ class LiveViewer:
             img[m] = (0.45 * img[m] + np.asarray([140.0, 0.0, 0.0])).astype(
                 np.uint8
             )
-        stride = max(1, img.shape[1] // max_w)
+        stride = max(1, -(-img.shape[1] // max_w))  # ceil: 512/320 -> 2
         img = np.ascontiguousarray(img[::stride, ::stride])
         blob = struct.pack("<2I", img.shape[1], img.shape[0]) + img.tobytes()
         with self._lock:

@@ -34,14 +34,43 @@ def test_order_and_payload():
 
 
 def test_overlap_hides_load_latency():
-    """With readahead, consumer wall time ~ max(load, compute), not the sum."""
+    """With readahead, consumer wall time ~ max(load, compute), not the sum.
+    Compared against a measured serial baseline in the SAME run so scheduler
+    jitter on loaded CI boxes doesn't flake an absolute bound."""
     ds = FakeDataset(8, delay=0.02)
     t0 = time.perf_counter()
-    for _ in FramePrefetcher(ds, lambda img: img):
+    for i in range(8):
+        ds[i]
         time.sleep(0.02)  # simulated device step
+    serial = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in FramePrefetcher(ds, lambda img: img):
+        time.sleep(0.02)
     overlapped = time.perf_counter() - t0
-    # serial would be >= 8 * (0.02 + 0.02) = 0.32; overlapped ~ 0.18
-    assert overlapped < 0.28
+    # ideal overlap halves the wall time; accept anything clearly sub-serial
+    assert overlapped < 0.8 * serial, (overlapped, serial)
+
+
+def test_stop_from_other_thread_unblocks_consumer():
+    """stop() from another thread must still deliver the sentinel: a
+    consumer blocked in get() may otherwise hang forever (the worker's
+    sentinel was dropped by the stop-aware bounded put)."""
+    import threading
+
+    ds = FakeDataset(4, delay=0.5)  # slow producer keeps the queue empty
+    pf = FramePrefetcher(ds, lambda img: img, depth=1)
+    got = []
+
+    def consume():
+        for item in pf:
+            got.append(item)
+
+    t = threading.Thread(target=consume)
+    t.start()
+    time.sleep(0.1)
+    pf.stop()
+    t.join(timeout=5.0)
+    assert not t.is_alive(), "consumer still blocked after cross-thread stop()"
 
 
 def test_error_surfaces_at_consumer():
