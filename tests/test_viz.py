@@ -186,3 +186,21 @@ def test_pipeline_consumes_viewer_control():
     n_before = len(s.frame_poses)
     s.process_frame(1, 1 / 30.0, frames[1])
     assert len(s.frame_poses) == n_before  # frame not processed after terminate
+
+
+def test_update_frame_downscales_wide_frames():
+    """A 512-wide frame must be strided to <= max_w (ceil division): floor
+    division left 512 > 320 frames full-size, tripling viewer bandwidth."""
+    import struct
+
+    from monst3r_slam_tpu.viz.live import LiveViewer
+
+    v = LiveViewer()
+    img = np.zeros((384, 512, 3), np.uint8)
+    v.update_frame(img, max_w=320)
+    w, h = struct.unpack_from("<2I", v._frame_blob)
+    assert w <= 320 and w == 256 and h == 192
+    # narrow frames pass through untouched
+    v.update_frame(np.zeros((60, 80, 3), np.uint8), max_w=320)
+    w, h = struct.unpack_from("<2I", v._frame_blob)
+    assert (w, h) == (80, 60)
