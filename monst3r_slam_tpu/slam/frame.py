@@ -221,8 +221,7 @@ def make_keyframe_memory(
     )
 
 
-def kf_set(mem: KeyframeMemory, idx: jax.Array, frame: Frame) -> KeyframeMemory:
-    """Write `frame` into slot idx; bumps count to max(count, idx+1)."""
+def _kf_set_body(mem: KeyframeMemory, idx, frame: Frame) -> KeyframeMemory:
     return KeyframeMemory(
         frame_id=mem.frame_id.at[idx].set(frame.frame_id),
         T_WC=mem.T_WC.at[idx].set(frame.T_WC),
@@ -235,6 +234,25 @@ def kf_set(mem: KeyframeMemory, idx: jax.Array, frame: Frame) -> KeyframeMemory:
         score=mem.score.at[idx].set(frame.score),
         count=jnp.maximum(mem.count, idx + 1),
     )
+
+
+_kf_set_donated = jax.jit(_kf_set_body, donate_argnums=(0,))
+_kf_set_plain = jax.jit(_kf_set_body)
+
+
+def kf_set(mem: KeyframeMemory, idx: jax.Array, frame: Frame) -> KeyframeMemory:
+    """Write `frame` into slot idx; bumps count to max(count, idx+1).
+
+    ONE fused program instead of ~10 eager `.at[].set` dispatches, and the
+    memory buffers are donated on TPU so the write happens in place — eagerly
+    each `.at[].set` COPIES its full (cap, ...) buffer (X_canon alone is
+    1.2 GB at cap=512, 384x512), costing device time and 2x transient HBM on
+    every keyframe event. Callers must reassign (`mem = kf_set(mem, ...)`),
+    which every call site does. CPU keeps the non-donating variant (the CPU
+    backend warns on donation)."""
+    if jax.default_backend() == "tpu":
+        return _kf_set_donated(mem, idx, frame)
+    return _kf_set_plain(mem, idx, frame)
 
 
 def kf_append(mem: KeyframeMemory, frame: Frame) -> KeyframeMemory:
