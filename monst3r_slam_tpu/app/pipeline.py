@@ -925,19 +925,10 @@ class SLAMSystem:
                         print(f"dynamic-mask overlay failed for {frame_id}: {e}")
                 if m.any():
                     C1_before = out.C1
-                    mask_flat = jnp.asarray(m.reshape(-1))
-                    _, C1m, D1m, Q1m = dyn.apply_dynamic_mask_to_pointmaps(
-                        out.X1.reshape(self.hw, 3),
-                        out.C1.reshape(self.hw, 1),
-                        out.D1.reshape(self.hw, -1),
-                        out.Q1.reshape(self.hw, 1),
-                        mask_flat,
+                    C1m, D1m, Q1m = dyn.apply_dynamic_mask_native(
+                        out.C1, out.D1, out.Q1, jnp.asarray(m)
                     )
-                    out = out._replace(
-                        C1=C1m.reshape(out.C1.shape),
-                        D1=D1m.reshape(out.D1.shape),
-                        Q1=Q1m.reshape(out.Q1.shape),
-                    )
+                    out = out._replace(C1=C1m, D1=D1m, Q1=Q1m)
                     # Optional pointmap-masking debug panels / 3D scatter
                     # (monst3r_utils.py:789-1009; config keys from the
                     # reference base.yaml, default off).
@@ -971,19 +962,10 @@ class SLAMSystem:
                     else None
                 )
                 if kf_mask is not None and kf_mask.any():
-                    kf_mask_flat = jnp.asarray(kf_mask.reshape(-1))
-                    _, C2m, D2m, Q2m = dyn.apply_dynamic_mask_to_pointmaps(
-                        out.X2.reshape(self.hw, 3),
-                        out.C2.reshape(self.hw, 1),
-                        out.D2.reshape(self.hw, -1),
-                        out.Q2.reshape(self.hw, 1),
-                        kf_mask_flat,
+                    C2m, D2m, Q2m = dyn.apply_dynamic_mask_native(
+                        out.C2, out.D2, out.Q2, jnp.asarray(kf_mask)
                     )
-                    out = out._replace(
-                        C2=C2m.reshape(out.C2.shape),
-                        D2=D2m.reshape(out.D2.shape),
-                        Q2=Q2m.reshape(out.Q2.shape),
-                    )
+                    out = out._replace(C2=C2m, D2=D2m, Q2=Q2m)
 
         if self.match_mode != "lm":
             # Matching fused into the tracking program: one dispatch for

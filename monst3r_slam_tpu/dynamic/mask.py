@@ -211,3 +211,13 @@ def apply_dynamic_mask_to_pointmaps(X, C, D, Q, mask_flat):
     if D is not None:
         D = D * keep[..., None]
     return X, C, D, Q
+
+
+@jax.jit
+def apply_dynamic_mask_native(C, D, Q, mask_hw):
+    """Same zeroing, ONE program, decoder-native shapes: C/Q (B, H, W),
+    D (B, H, W, F), mask (H, W) bool. The live pipeline's eager
+    reshape-flat/apply/reshape-back sequence was ~11 relay dispatches per
+    masked side per frame."""
+    keep = (~mask_hw)[None].astype(C.dtype)
+    return C * keep, D * keep[..., None], Q * keep
