@@ -12,6 +12,12 @@ import sys
 
 sys.path.insert(0, ".")
 
+import jax  # noqa: E402
+
+# Pure-numpy math: never touch the TPU relay for trajectory alignment (a
+# dead relay would hang the import-time backend probe).
+jax.config.update("jax_platforms", "cpu")
+
 from monst3r_slam_tpu.app.evaluate import ate_rmse, load_tum_trajectory  # noqa: E402
 
 
