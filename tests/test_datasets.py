@@ -102,3 +102,58 @@ def test_matcher_mode_dispatch():
         idx, valid = fn(X, X, D, D)
         assert idx.shape == (1, 32 * 48)
         assert valid.shape == (1, 32 * 48, 1)
+
+
+def test_convert_groundtruth_euroc_and_7scenes(tmp_path):
+    """scripts/convert_groundtruth.py derives the TUM-format files the
+    reference vendors under groundtruths/ from the raw dataset layouts."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_groundtruth",
+        pathlib.Path(__file__).parent.parent / "scripts" / "convert_groundtruth.py",
+    )
+    cg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cg)
+
+    # EuRoC: data.csv with ns timestamps and wxyz quaternions
+    seq = tmp_path / "MH_01_easy"
+    gtd = seq / "mav0" / "state_groundtruth_estimate0"
+    gtd.mkdir(parents=True)
+    (gtd / "data.csv").write_text(
+        "#ts,px,py,pz,qw,qx,qy,qz,...\n"
+        "1403636579758555392,4.68,-1.78,0.78,0.53,-0.15,-0.83,-0.08\n"
+        "1403636579763555328,4.69,-1.77,0.79,0.53,-0.15,-0.83,-0.08\n"
+    )
+    out = cg.convert_euroc(seq)
+    assert out.shape == (2, 8)
+    np.testing.assert_allclose(out[0, 0], 1403636579.758555392, rtol=1e-12)
+    np.testing.assert_allclose(out[0, 1:4], [4.68, -1.78, 0.78])
+    np.testing.assert_allclose(out[0, 4:8], [-0.15, -0.83, -0.08, 0.53])
+
+    # 7-Scenes: 4x4 camera-to-world pose files, frame-index timestamps
+    scene = tmp_path / "chess"
+    (scene / "seq-01").mkdir(parents=True)
+    R = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    M = np.eye(4)
+    M[:3, :3] = R
+    M[:3, 3] = [1.0, 2.0, 3.0]
+    np.savetxt(scene / "seq-01" / "frame-000000.pose.txt", M)
+    np.savetxt(scene / "seq-01" / "frame-000001.pose.txt", np.eye(4))
+    out = cg.convert_7scenes(scene)
+    assert out.shape == (2, 8)
+    assert out[0, 0] == 0 and out[1, 0] == 1
+    np.testing.assert_allclose(out[0, 1:4], [1.0, 2.0, 3.0])
+    # 90-degree z rotation -> q = (0, 0, sin(45), cos(45))
+    np.testing.assert_allclose(
+        out[0, 4:8], [0.0, 0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)], atol=1e-12
+    )
+    # quaternion round-trips through the repo's own Lie core
+    from monst3r_slam_tpu.core import lie
+    import jax.numpy as jnp
+
+    T = jnp.concatenate([jnp.asarray(out[0, 1:4]), jnp.asarray(out[0, 4:8]),
+                         jnp.ones((1,))])
+    R_rt = np.asarray(lie.sim3_matrix(T))[:3, :3]
+    np.testing.assert_allclose(R_rt, R, atol=1e-7)
