@@ -142,6 +142,21 @@ def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = True):
     return s, R, t
 
 
+def associate(est_timestamps, gt_timestamps, max_diff: float = 0.02):
+    """Nearest-timestamp association (TUM convention). Returns (ei, gi)
+    index arrays into the estimate / ground-truth trajectories."""
+    est_t = np.asarray([float(t) for t in est_timestamps])
+    gt_t = np.asarray([float(t) for t in gt_timestamps])
+    pairs = []
+    for i, t in enumerate(est_t):
+        j = int(np.argmin(np.abs(gt_t - t)))
+        if abs(gt_t[j] - t) <= max_diff:
+            pairs.append((i, j))
+    ei = np.asarray([p[0] for p in pairs], int)
+    gi = np.asarray([p[1] for p in pairs], int)
+    return ei, gi
+
+
 def ate_rmse(
     est_timestamps,
     est_xyz: np.ndarray,
@@ -153,24 +168,15 @@ def ate_rmse(
     """Associate by timestamp (TUM convention), Sim(3)-align, RMSE of
     translation error — the reference's headline metric
     (scripts/eval_tum.sh:46-63)."""
-    est_t = np.asarray([float(t) for t in est_timestamps])
-    gt_t = np.asarray([float(t) for t in gt_timestamps])
-    pairs = []
-    j = 0
-    for i, t in enumerate(est_t):
-        j = int(np.argmin(np.abs(gt_t - t)))
-        if abs(gt_t[j] - t) <= max_diff:
-            pairs.append((i, j))
-    if len(pairs) < 3:
-        raise ValueError(f"only {len(pairs)} timestamp matches")
-    ei = np.asarray([p[0] for p in pairs])
-    gi = np.asarray([p[1] for p in pairs])
+    ei, gi = associate(est_timestamps, gt_timestamps, max_diff)
+    if len(ei) < 3:
+        raise ValueError(f"only {len(ei)} timestamp matches")
     x = est_xyz[ei]
     y = gt_xyz[gi]
     s, R, t = umeyama_alignment(x, y, with_scale)
     x_aligned = (s * (R @ x.T)).T + t
     err = np.linalg.norm(x_aligned - y, axis=1)
-    return float(np.sqrt(np.mean(err**2))), len(pairs)
+    return float(np.sqrt(np.mean(err**2))), len(ei)
 
 
 def load_tum_trajectory(path):

@@ -236,23 +236,21 @@ def _kf_set_body(mem: KeyframeMemory, idx, frame: Frame) -> KeyframeMemory:
     )
 
 
-_kf_set_donated = jax.jit(_kf_set_body, donate_argnums=(0,))
-_kf_set_plain = jax.jit(_kf_set_body)
+_kf_set_jit = jax.jit(_kf_set_body)
 
 
 def kf_set(mem: KeyframeMemory, idx: jax.Array, frame: Frame) -> KeyframeMemory:
     """Write `frame` into slot idx; bumps count to max(count, idx+1).
 
-    ONE fused program instead of ~10 eager `.at[].set` dispatches, and the
-    memory buffers are donated on TPU so the write happens in place — eagerly
-    each `.at[].set` COPIES its full (cap, ...) buffer (X_canon alone is
-    1.2 GB at cap=512, 384x512), costing device time and 2x transient HBM on
-    every keyframe event. Callers must reassign (`mem = kf_set(mem, ...)`),
-    which every call site does. CPU keeps the non-donating variant (the CPU
-    backend warns on donation)."""
-    if jax.default_backend() == "tpu":
-        return _kf_set_donated(mem, idx, frame)
-    return _kf_set_plain(mem, idx, frame)
+    ONE fused program instead of ~10 eager `.at[].set` dispatches.
+    Deliberately NOT donated: the async backend worker slices live
+    `mem.feat[ii]` / `mem.pos[ii]` when assembling factor-graph edges
+    (app/pipeline.py add_factors) — only the solve inputs are snapshotted
+    (`_snap_slice`) — so an in-place keyframe append could invalidate a
+    buffer with worker reads in flight. The copies cost ~6 ms of device
+    time per KEYFRAME EVENT only (kf_append also passes `mem.count` as
+    `idx`, which donation would reject as a duplicate donated buffer)."""
+    return _kf_set_jit(mem, idx, frame)
 
 
 def kf_append(mem: KeyframeMemory, frame: Frame) -> KeyframeMemory:

@@ -89,7 +89,10 @@ def main(argv=None):
     out = args.output or pathlib.Path(f"{args.path.name}.txt")
     with open(out, "w") as f:
         for r in traj:
-            f.write(" ".join(f"{v:.10g}" for v in r) + "\n")
+            # timestamp at fixed 9 decimals: %g would collapse EuRoC's
+            # ~1.4e9-second stamps to whole seconds, breaking the TUM
+            # nearest-timestamp association (max_diff = 0.02 s)
+            f.write(f"{r[0]:.9f} " + " ".join(f"{v:.10g}" for v in r[1:]) + "\n")
     print(f"wrote {len(traj)} poses to {out}")
 
 

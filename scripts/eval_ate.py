@@ -19,18 +19,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 from monst3r_slam_tpu.app.evaluate import (  # noqa: E402
+    associate,
     ate_rmse,
     load_tum_trajectory,
     umeyama_alignment,
 )
 
 
-def save_plot(path, gt_xyz, est_xyz, with_scale, mode="xz", title=""):
+def save_plot(path, gt_t, gt_xyz, est_t, est_xyz, with_scale, max_diff=0.02,
+              mode="xz", title=""):
     """Aligned-trajectory plot, the `evo_ape --plot --plot_mode xz
-    --save_plot out.pdf` equivalent (reference instructions.md usage)."""
+    --save_plot out.pdf` equivalent (reference instructions.md usage).
+    Alignment uses the SAME timestamp-matched pairs as the RMSE (the raw
+    trajectories have different lengths)."""
     import numpy as np
 
-    s, R, t = umeyama_alignment(est_xyz, gt_xyz, with_scale)
+    ei, gi = associate(est_t, gt_t, max_diff)
+    s, R, t = umeyama_alignment(est_xyz[ei], gt_xyz[gi], with_scale)
     est_a = (s * (R @ est_xyz.T)).T + t
     import matplotlib
 
@@ -70,8 +75,9 @@ def main():
     print(f"ate_rmse {rmse:.6f} m  ({n} matched poses)")
     if args.save_plot:
         save_plot(
-            args.save_plot, gt_xyz, est_xyz, not args.no_scale,
-            mode=args.plot_mode, title=f"ATE RMSE {rmse:.4f} m",
+            args.save_plot, gt_t, gt_xyz, est_t, est_xyz, not args.no_scale,
+            max_diff=args.max_diff, mode=args.plot_mode,
+            title=f"ATE RMSE {rmse:.4f} m",
         )
         print(f"plot saved to {args.save_plot}")
 

@@ -5,15 +5,7 @@
 set -e
 ROOT=${1:?usage: eval_tum2.sh <datasets_root> [config]}
 CONFIG=${2:-config/eval_calib.yaml}
-SEQS=(rgbd_dataset_freiburg2_desk_with_person \
-      rgbd_dataset_freiburg3_sitting_static \
-      rgbd_dataset_freiburg3_sitting_xyz \
-      rgbd_dataset_freiburg3_sitting_halfsphere \
-      rgbd_dataset_freiburg3_sitting_rpy \
-      rgbd_dataset_freiburg3_walking_static \
-      rgbd_dataset_freiburg3_walking_xyz \
-      rgbd_dataset_freiburg3_walking_halfsphere \
-      rgbd_dataset_freiburg3_walking_rpy)
+. "$(dirname "$0")/tum2_seqs.sh"
 for seq in "${SEQS[@]}"; do
     echo "=== $seq ==="
     python main_monster_slam.py --dataset "$ROOT/tum2/$seq" --config "$CONFIG" --no-viz

@@ -24,7 +24,12 @@ import numpy as np
 OUT = pathlib.Path(__file__).resolve().parent.parent / "tests" / "fixtures"
 
 
-def gen_raft():
+RAFT_PROBE_YX = np.asarray([[7, 11], [30, 50], [60, 90], [15, 80]])
+
+
+def compute_raft():
+    """The frozen recipe — shared with tests/test_golden.py, which imports
+    this module so the test can never drift from the generator."""
     from monst3r_slam_tpu.dynamic import raft as raft_mod
 
     cfg = raft_mod.RAFTConfig(iters=4)
@@ -33,23 +38,14 @@ def gen_raft():
     h, w = 64, 96
     u0 = rng.integers(0, 255, (h, w, 3), np.uint8)
     u1 = np.roll(u0, 2, axis=1)
-    flow = np.asarray(
+    return np.asarray(
         raft_mod.raft_flow(
             params, jnp.asarray(u0, jnp.float32), jnp.asarray(u1, jnp.float32), cfg
         )
     )
-    probe_yx = np.asarray([[7, 11], [30, 50], [60, 90], [15, 80]])
-    np.savez(
-        OUT / "raft_self_golden.npz",
-        probe_yx=probe_yx,
-        probe_vals=flow[probe_yx[:, 0], probe_yx[:, 1]],
-        mean=flow.mean(axis=(0, 1)),
-        std=np.float32(flow.std()),
-    )
-    print("raft golden:", flow.mean(axis=(0, 1)), flow.std())
 
 
-def gen_sam2():
+def compute_sam2():
     from monst3r_slam_tpu.dynamic import sam2 as sam2_mod
 
     scfg = sam2_mod.SAM2_TEST
@@ -59,7 +55,23 @@ def gen_sam2():
     pts = jnp.asarray([[[0.4, 0.3]], [[0.7, 0.6]]], jnp.float32)
     lbs = jnp.asarray([[1], [1]], jnp.int32)
     masks, iou = sam2_mod.sam2_image_forward(sparams, scfg, img, pts, lbs)
-    masks, iou = np.asarray(masks), np.asarray(iou)
+    return np.asarray(masks), np.asarray(iou)
+
+
+def gen_raft():
+    flow = compute_raft()
+    np.savez(
+        OUT / "raft_self_golden.npz",
+        probe_yx=RAFT_PROBE_YX,
+        probe_vals=flow[RAFT_PROBE_YX[:, 0], RAFT_PROBE_YX[:, 1]],
+        mean=flow.mean(axis=(0, 1)),
+        std=np.float32(flow.std()),
+    )
+    print("raft golden:", flow.mean(axis=(0, 1)), flow.std())
+
+
+def gen_sam2():
+    masks, iou = compute_sam2()
     np.savez(
         OUT / "sam2_self_golden.npz",
         mask_probe=masks[:, :, ::37, ::41],

@@ -118,28 +118,25 @@ def test_resize_img_pixel_exact(case):
     np.testing.assert_array_equal(res["img"][0], expect)
 
 
+def _self_gen_module():
+    """Load the self-golden generator so test and generator share ONE
+    input/forward recipe (same pattern as _gen_module above)."""
+    spec = importlib.util.spec_from_file_location(
+        "gen_self_goldens", SCRIPTS / "gen_self_goldens.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_raft_self_golden():
     """Freeze RAFT numerics (no external oracle in this image: the
     reference's RAFT submodule is empty, torchvision absent). Catches
     unintended changes to padding, precision, or layer wiring by value.
     Regenerate with scripts/gen_self_goldens.py on DELIBERATE changes."""
-    import jax
-    import jax.numpy as jnp
-
-    from monst3r_slam_tpu.dynamic import raft as raft_mod
-
+    gen = _self_gen_module()
     gold = np.load(FIX / "raft_self_golden.npz")
-    cfg = raft_mod.RAFTConfig(iters=4)
-    params = raft_mod.init_raft_params(jax.random.PRNGKey(11), cfg)
-    rng = np.random.default_rng(5)
-    h, w = 64, 96
-    u0 = rng.integers(0, 255, (h, w, 3), np.uint8)
-    u1 = np.roll(u0, 2, axis=1)
-    flow = np.asarray(
-        raft_mod.raft_flow(
-            params, jnp.asarray(u0, jnp.float32), jnp.asarray(u1, jnp.float32), cfg
-        )
-    )
+    flow = gen.compute_raft()
     yx = gold["probe_yx"]
     np.testing.assert_allclose(
         flow[yx[:, 0], yx[:, 1]], gold["probe_vals"], atol=1e-3, rtol=1e-3
@@ -152,21 +149,10 @@ def test_sam2_self_golden():
     """Freeze SAM2 numerics (same rationale as the RAFT self-golden); locks
     the round-3 fidelity fixes: patch-embed (3,3) padding, lagged window
     spec, first-two-way-layer replace, no_mem/no_mask embeddings."""
-    import jax
-    import jax.numpy as jnp
-
-    from monst3r_slam_tpu.dynamic import sam2 as sam2_mod
-
+    gen = _self_gen_module()
     gold = np.load(FIX / "sam2_self_golden.npz")
-    scfg = sam2_mod.SAM2_TEST
-    sparams = sam2_mod.init_sam2_params(jax.random.PRNGKey(7), scfg)
-    S = scfg.img_size
-    img = jax.random.uniform(jax.random.PRNGKey(9), (1, S, S, 3))
-    pts = jnp.asarray([[[0.4, 0.3]], [[0.7, 0.6]]], jnp.float32)
-    lbs = jnp.asarray([[1], [1]], jnp.int32)
-    masks, iou = sam2_mod.sam2_image_forward(sparams, scfg, img, pts, lbs)
+    masks, iou = gen.compute_sam2()
     np.testing.assert_allclose(
-        np.asarray(masks)[:, :, ::37, ::41], gold["mask_probe"],
-        atol=2e-3, rtol=2e-3,
+        masks[:, :, ::37, ::41], gold["mask_probe"], atol=2e-3, rtol=2e-3
     )
-    np.testing.assert_allclose(np.asarray(iou), gold["iou"], atol=1e-3)
+    np.testing.assert_allclose(iou, gold["iou"], atol=1e-3)
