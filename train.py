@@ -47,6 +47,10 @@ def main():
     p.add_argument("--img-size", type=int, nargs=2, default=[224, 224])
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke)")
     p.add_argument("--save", default="trained_params.npz")
+    p.add_argument("--ckpt-dir", default="",
+                   help="orbax checkpoint dir: resumes the full TrainState "
+                        "(params + AdamW moments + step) if one exists")
+    p.add_argument("--ckpt-every", type=int, default=50)
     args = p.parse_args()
 
     from monst3r_slam_tpu.models.config import MAST3R_512, TINY
@@ -70,6 +74,18 @@ def main():
     optimizer = make_optimizer(args.lr)
     state = init_train_state(params, optimizer)
 
+    mngr = None
+    start_step = 0
+    if args.ckpt_dir:
+        from monst3r_slam_tpu.train import checkpoint as ckpt
+
+        mngr = ckpt.make_manager(args.ckpt_dir)
+        restored = ckpt.restore_latest(mngr, state)
+        if restored is not None:
+            state = restored
+            start_step = int(state.step)
+            print(f"resumed from {args.ckpt_dir} at step {start_step}")
+
     h, w = args.img_size
     bsh = batch_sharding(mesh)
 
@@ -89,11 +105,20 @@ def main():
 
     t0 = time.time()
     with mesh:
-        for step in range(args.steps):
+        for step in range(start_step, args.steps):
             state, loss = train_step(state, cfg, optimizer, get_batch(step))
             if step % 10 == 0:
                 print(f"step {step}: loss {float(loss):.4f} "
-                      f"({(time.time() - t0) / max(step, 1):.2f} s/step)")
+                      f"({(time.time() - t0) / max(step - start_step, 1):.2f} s/step)")
+            if mngr is not None and (step + 1) % max(args.ckpt_every, 1) == 0:
+                from monst3r_slam_tpu.train import checkpoint as ckpt
+
+                ckpt.save(mngr, state)
+    if mngr is not None:
+        from monst3r_slam_tpu.train import checkpoint as ckpt
+
+        ckpt.save(mngr, state)
+        mngr.wait_until_finished()
 
     if args.save:
         flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
