@@ -144,8 +144,33 @@ def chain_time(fn, n, warmup=2):
     return (time.perf_counter() - t0) / n
 
 
+def _relay_reachable() -> bool:
+    """Fast probe of the axon relay's local ports: a dead tunnel otherwise
+    hangs the first device op until the watchdog budget expires (the tunnel
+    died mid-round-3 and stayed down for hours)."""
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "axon"):
+        return True  # explicitly not on the relay-backed platform
+    import socket
+
+    for port in (8082, 8093, 8113):
+        sock = socket.socket()
+        sock.settimeout(2)
+        try:
+            sock.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            sock.close()
+    return False
+
+
 def main():
     wd = Watchdog()
+    if not SMOKE and not _relay_reachable():
+        _extra["error"] = "axon relay unreachable (all tunnel ports refused)"
+        emit_final()
+        return
     from monst3r_slam_tpu.models import mast3r as model_api
     from monst3r_slam_tpu.models.config import MAST3R_512, MONST3R_512, ModelConfig
     from monst3r_slam_tpu.models.convert import cast_params_for_inference
