@@ -150,9 +150,14 @@ def _relay_reachable() -> bool:
     died mid-round-3 and stayed down for hours)."""
     if os.environ.get("JAX_PLATFORMS", "") not in ("", "axon"):
         return True  # explicitly not on the relay-backed platform
+    if os.environ.get("BENCH_SKIP_RELAY_PROBE", "") == "1":
+        return True
     import socket
 
-    for port in (8082, 8093, 8113):
+    # the relay's full listener set (.tpu_init.py PORTS); ANY open port
+    # means the tunnel is alive — only a fully dark relay fast-fails
+    for port in (8082, 8083, 8087, 8092, 8093, 8097,
+                 8102, 8103, 8107, 8112, 8113, 8117):
         sock = socket.socket()
         sock.settimeout(2)
         try:
