@@ -148,9 +148,14 @@ def _relay_reachable() -> bool:
     """Fast probe of the axon relay's local ports: a dead tunnel otherwise
     hangs the first device op until the watchdog budget expires (the tunnel
     died mid-round-3 and stayed down for hours)."""
-    if os.environ.get("JAX_PLATFORMS", "") not in ("", "axon"):
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and "axon" not in platforms:
         return True  # explicitly not on the relay-backed platform
     if os.environ.get("BENCH_SKIP_RELAY_PROBE", "") == "1":
+        return True
+    if not os.path.exists("/root/.tpu_init.py"):
+        # no relay transport on this machine at all (local TPU/GPU/CPU
+        # backends initialize fine without these ports) — don't fast-fail
         return True
     import socket
 

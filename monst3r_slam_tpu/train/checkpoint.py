@@ -19,12 +19,10 @@ from monst3r_slam_tpu.train.step import TrainState
 
 def make_manager(ckpt_dir, max_to_keep: int = 3) -> ocp.CheckpointManager:
     path = pathlib.Path(ckpt_dir).resolve()
-    path.mkdir(parents=True, exist_ok=True)
+    path.mkdir(parents=True, exist_ok=True)  # (orbax's create= is deprecating)
     return ocp.CheckpointManager(
         path,
-        options=ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True
-        ),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
     )
 
 

@@ -1,9 +1,8 @@
 """Config system: `inherit:` resolution, deep-merge precedence, global state
 (reference mast3r_slam/config.py `load_config` semantics)."""
 
+import copy
 import pathlib
-
-import numpy as np
 
 from monst3r_slam_tpu.app.config import config, load_config, merge_config
 
@@ -56,5 +55,6 @@ def test_repo_config_family_loads_and_inherits_base():
                     "single_thread", "use_dynamic_mask"):
             assert key in cfg, (name, key)
         assert isinstance(cfg["tracking"], dict)
-    # base itself round-trips through merge with an empty override
-    assert merge_config(base, {}) == base
+    # base round-trips through merge with an empty override (deep copy:
+    # merge_config mutates and returns its first argument)
+    assert merge_config(copy.deepcopy(base), {}) == base

@@ -75,6 +75,7 @@ def main():
     state = init_train_state(params, optimizer)
 
     mngr = None
+    ckpt = None
     start_step = 0
     if args.ckpt_dir:
         from monst3r_slam_tpu.train import checkpoint as ckpt
@@ -108,15 +109,14 @@ def main():
         for step in range(start_step, args.steps):
             state, loss = train_step(state, cfg, optimizer, get_batch(step))
             if step % 10 == 0:
+                done = step - start_step + 1  # steps completed this run
                 print(f"step {step}: loss {float(loss):.4f} "
-                      f"({(time.time() - t0) / max(step - start_step, 1):.2f} s/step)")
+                      f"({(time.time() - t0) / done:.2f} s/step)")
             if mngr is not None and (step + 1) % max(args.ckpt_every, 1) == 0:
-                from monst3r_slam_tpu.train import checkpoint as ckpt
-
                 ckpt.save(mngr, state)
     if mngr is not None:
-        from monst3r_slam_tpu.train import checkpoint as ckpt
-
+        # no-op when the last loop iteration already saved this step
+        # (orbax skips saves for steps <= latest_step)
         ckpt.save(mngr, state)
         mngr.wait_until_finished()
 
