@@ -83,6 +83,7 @@ def backend_config_from_dict(cfg: dict) -> BackendConfig:
         delta_norm=b.get("delta_norm", 1e-8),
         pixel_border=b.get("pixel_border", -10.0),
         depth_eps=b.get("depth_eps", 1e-6),
+        pixel_subsample=int(b.get("pixel_subsample", 1)),
     )
 
 
@@ -369,6 +370,7 @@ class SLAMSystem:
             self.cfg.get("defer_tracking_sync", not self.single_thread)
         )
         self._pending = None  # un-resolved tracking result of the last frame
+        self.last_summary = None  # last resolved decision vector (introspection)
         self.backend_stall_s = 0.0  # main-thread time blocked on backend work
         self._last_viz_push = 0.0
         # Viewer control channel (reference WindowMsg, visualization.py:33-39)
@@ -502,8 +504,17 @@ class SLAMSystem:
         E = len(kf_i_list)
         if E == 0:
             return False
-        ii = jnp.asarray(kf_i_list)
-        jj = jnp.asarray(kf_j_list)
+        # Pad the edge batch to a pow2 bucket: every distinct batch size E
+        # compiles a fresh dual-decoder program over the remote compiler
+        # (minutes each); buckets bound the variants to {1, 2, 4, 8, ...}.
+        # Padding repeats edge 0 — its duplicate results are simply unread.
+        E_pad = 1
+        while E_pad < E:
+            E_pad *= 2
+        pad_i = kf_i_list + [kf_i_list[0]] * (E_pad - E)
+        pad_j = kf_j_list + [kf_j_list[0]] * (E_pad - E)
+        ii = jnp.asarray(pad_i)
+        jj = jnp.asarray(pad_j)
         feat_i, pos_i = self.mem.feat[ii], self.mem.pos[ii]  # (E, n, d)
         feat_j, pos_j = self.mem.feat[jj], self.mem.pos[jj]
         out2 = self._decode_pair(
@@ -514,7 +525,7 @@ class SLAMSystem:
         )
 
         def half(t, k):
-            return None if t is None else t[k * E : (k + 1) * E]
+            return None if t is None else t[k * E_pad : (k + 1) * E_pad]
 
         out_ij = model_api.PairOutput(*[half(t, 0) for t in out2])
         out_ji = model_api.PairOutput(*[half(t, 1) for t in out2])
@@ -525,10 +536,10 @@ class SLAMSystem:
         idx_j2i, valid_i = self.match_fn(
             out_ji.X1, out_ji.X2, out_ji.D1, out_ji.D2
         )
-        Qii = out_ij.Q1.reshape(E, -1, 1)
-        Qji = out_ij.Q2.reshape(E, -1, 1)
-        Qjj = out_ji.Q1.reshape(E, -1, 1)
-        Qij = out_ji.Q2.reshape(E, -1, 1)
+        Qii = out_ij.Q1.reshape(E_pad, -1, 1)
+        Qji = out_ij.Q2.reshape(E_pad, -1, 1)
+        Qjj = out_ji.Q1.reshape(E_pad, -1, 1)
+        Qij = out_ji.Q2.reshape(E_pad, -1, 1)
         Qj = jnp.sqrt(jnp.take_along_axis(Qii, idx_i2j[..., None], axis=1) * Qji)
         Qi = jnp.sqrt(jnp.take_along_axis(Qjj, idx_j2i[..., None], axis=1) * Qij)
 
@@ -835,7 +846,12 @@ class SLAMSystem:
                 return
             time.sleep(0.05)  # paused: hold between frames until resume/step
 
-    def process_frame(self, frame_id: int, timestamp, img_np: np.ndarray, uimg=None):
+    def process_frame(self, frame_id: int, timestamp, img_np: np.ndarray, uimg=None,
+                      force_kf: Optional[bool] = None):
+        """`force_kf` overrides the device's new-keyframe decision host-side
+        (True: always keyframe, False: never, None: use the tracker's
+        match-fraction gate). Pure host logic — no recompile; used by bench/
+        tools to pin a keyframe cadence."""
         self._consume_viewer_control()
         if self.terminate_requested:
             return
@@ -1039,7 +1055,7 @@ class SLAMSystem:
         # dispatch hides under this sync (config `defer_tracking_sync`).
         self._pending = dict(
             frame_id=frame_id, frame=frame, res=res, summary=summary,
-            uimg=uimg, dyn_mask=cur_dyn_mask, dbg=dbg,
+            uimg=uimg, dyn_mask=cur_dyn_mask, dbg=dbg, force_kf=force_kf,
         )
         if not self.defer_sync:
             self._resolve_pending()
@@ -1092,6 +1108,7 @@ class SLAMSystem:
         # ONE device->host transfer for all per-frame decisions:
         # [T_WCf(0:8), low_match(8), solver_failed(9), new_kf(10)]
         sv = np.asarray(p["summary"])
+        self.last_summary = sv  # introspection: tests/bench read the decisions
         if sv[8] > 0.5 or sv[9] > 0.5:  # low_match | solver_failed
             self.mode = Mode.RELOC
             self.idx_f2k = None
@@ -1104,7 +1121,8 @@ class SLAMSystem:
         self.last_T_WC = sv[:8]
         self._last_T_WC_dev = res.T_WCf
 
-        if sv[10] > 0.5:  # new_kf
+        new_kf = sv[10] > 0.5 if p["force_kf"] is None else p["force_kf"]
+        if new_kf:
             self.idx_f2k = None
             new_idx = self.n_kf
             self.mem = kf_append(self.mem, frame)

@@ -53,7 +53,7 @@ def encode(params, cfg: ModelConfig, img: jax.Array, dtype=jnp.bfloat16):
     return croco.encode_image(params, cfg, img, dtype)
 
 
-@partial(jax.jit, static_argnames=("cfg", "shape", "dtype"))
+@partial(jax.jit, static_argnames=("cfg", "shape", "dtype", "fused_heads"))
 def decode(
     params,
     cfg: ModelConfig,
@@ -63,16 +63,33 @@ def decode(
     pos2: jax.Array,
     shape,
     dtype=jnp.bfloat16,
+    fused_heads: bool = False,
 ) -> PairOutput:
     """Decoder + downstream heads for the ordered pair (1, 2).
 
     `shape` is the static (H, W) image shape; N must equal H*W/patch^2.
+
+    `fused_heads` runs head1+head2 as ONE vmapped pass over stacked head
+    params: XLA lowers the two batch-B conv chains into a single
+    grouped-conv chain of batch 2B (feature_group_count batching rule), so
+    each DPT/regression conv launches once instead of twice.
     """
     h, w = shape
     n_h, n_w = h // cfg.patch_size, w // cfg.patch_size
     dec1, dec2 = croco.decode_pair(params, cfg, feat1, pos1, feat2, pos2, dtype)
-    out1 = heads.head_forward(params["head1"], cfg, dec1, n_h, n_w)
-    out2 = heads.head_forward(params["head2"], cfg, dec2, n_h, n_w)
+    if fused_heads:
+        stacked = jax.tree.map(
+            lambda a, b: jnp.stack([a, b]), params["head1"], params["head2"]
+        )
+        dec = tuple(jnp.stack([a, b]) for a, b in zip(dec1, dec2))
+        outs = jax.vmap(
+            lambda hp, df: heads.head_forward(hp, cfg, df, n_h, n_w)
+        )(stacked, dec)
+        out1 = heads.HeadOutput(*[None if t is None else t[0] for t in outs])
+        out2 = heads.HeadOutput(*[None if t is None else t[1] for t in outs])
+    else:
+        out1 = heads.head_forward(params["head1"], cfg, dec1, n_h, n_w)
+        out2 = heads.head_forward(params["head2"], cfg, dec2, n_h, n_w)
     return PairOutput(
         out1.pts3d, out1.conf, out1.desc, out1.desc_conf,
         out2.pts3d, out2.conf, out2.desc, out2.desc_conf,

@@ -46,6 +46,13 @@ class BackendConfig(NamedTuple):
     pixel_border: float = -10.0
     depth_eps: float = 1e-6
     chunk: int = 8192  # pixels per accumulation step
+    # Keep every S-th pixel slot in the residual set. The global solve is a
+    # 7-DoF-per-pose problem over ~200k residuals PER EDGE; S<=8 stays far
+    # above the information floor (tests/test_ate_regression.py asserts the
+    # solve still reduces ATE) while cutting solve time ~Sx. S=1 keeps the
+    # reference's exact every-pixel semantics (gn_kernels.cu accumulates all
+    # valid pixels).
+    pixel_subsample: int = 1
 
 
 def _point_jac_local(P: jax.Array) -> jax.Array:
@@ -117,21 +124,36 @@ def _point_residual(Xi, Xj_Ci):
     return err, J_local, valid
 
 
-def _edge_terms(
-    Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg: BackendConfig,
-    calib=None,
-    residual_kind: str = "ray",
-):
-    """Accumulate per-edge Hessian blocks and gradients over all pixels.
+class _Gathered(NamedTuple):
+    """Pose-independent per-pixel solve inputs, chunked (n_chunks, E, chunk, …)."""
 
-    Twc (P, 8); Xs (P, hw, 3); Cs (P, hw, 1); ii/jj (E,); idx_ii2jj (E, hw);
-    valid_match (E, hw); Q (E, hw); edge_valid (E,).
-    Returns H (E, 14, 14), g (E, 14).
+    Xi: jax.Array  # (n_chunks, E, chunk, 3) matched points of frame i
+    Xj: jax.Array  # (n_chunks, E, chunk, 3) dense-grid points of frame j
+    wq: jax.Array  # (n_chunks, E, chunk) sqrt(max(Q, 0))
+    valid: jax.Array  # (n_chunks, E, chunk) bool — every pose-independent gate
+    ind: jax.Array  # (n_chunks, E, chunk) int32 matched pixel index (calib u/v)
+
+
+def _gather_edges(
+    Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg: BackendConfig
+) -> _Gathered:
+    """Gather + gate everything that does not depend on the poses, ONCE.
+
+    The random-access gathers (Xs[ii, idx] at (E, hw) scale) dominate the
+    solve's HBM time on TPU; hoisting them out of the GN iteration loop
+    converts the per-iteration cost to sequential streaming of this struct.
+    `cfg.pixel_subsample` S keeps every S-th pixel slot (see BackendConfig).
     """
     E, hw = idx_ii2jj.shape
-    chunk = min(cfg.chunk, hw)
-    n_chunks = -(-hw // chunk)
-    pad = n_chunks * chunk - hw
+    S = max(1, cfg.pixel_subsample)
+    if S > 1:
+        idx_ii2jj = idx_ii2jj[:, ::S]
+        valid_match = valid_match[:, ::S]
+        Q = Q[:, ::S]
+    hw_s = idx_ii2jj.shape[1]
+    chunk = min(cfg.chunk, hw_s)
+    n_chunks = -(-hw_s // chunk)
+    pad = n_chunks * chunk - hw_s
 
     def pad_c(x, fill=0):
         return jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill) if pad else x
@@ -139,61 +161,82 @@ def _edge_terms(
     idx_p = pad_c(idx_ii2jj)
     vm_p = pad_c(valid_match, False)
     Q_p = pad_c(Q)
-    # Pixel index of each (padded) slot, for calib measurement pixels
-    pix_p = jnp.broadcast_to(jnp.arange(n_chunks * chunk)[None], (E, n_chunks * chunk))
 
+    # Frame-i side: ONE random-access gather of a PACKED (P, hw, 4) [X | C]
+    # table — TPU gathers move per-index blocks, so one 16-byte gather beats
+    # two/four narrow ones (the gather, not the GN math, dominated the solve).
+    XC = jnp.concatenate([Xs, Cs], axis=-1)  # (P, hw, 4)
+    ind_Xi = jnp.where(vm_p, idx_p, 0)
+    XCi = jnp.take_along_axis(XC[ii], ind_Xi[..., None], axis=1)  # (E, hw_pad, 4)
+    Xi, Ci = XCi[..., 0:3], XCi[..., 3]
+
+    # Frame-j side: its own dense pixel grid — a row-take plus a regular
+    # strided slice, never an elementwise gather.
+    XCj = XC[jj][:, ::S] if S > 1 else XC[jj]  # (E, hw_s, 4)
+    if pad:
+        XCj = jnp.pad(XCj, ((0, 0), (0, pad), (0, 0)))
+    Xj, Cj = XCj[..., 0:3], XCj[..., 3]
+
+    in_range = jnp.arange(n_chunks * chunk) < hw_s  # padded slots -> invalid
+    valid = (
+        vm_p
+        & (Q_p > cfg.Q_conf)
+        & (Ci > cfg.C_conf)
+        & (Cj > cfg.C_conf)
+        & in_range[None, :]
+        & edge_valid[:, None]
+    )
+    wq = jnp.sqrt(jnp.maximum(Q_p, 0.0))
+
+    def resh(x):
+        return x.reshape(E, n_chunks, chunk, *x.shape[2:]).swapaxes(0, 1)
+
+    return _Gathered(resh(Xi), resh(Xj), resh(wq), resh(valid), resh(ind_Xi))
+
+
+def _sig_inv(cfg: BackendConfig, calib, residual_kind: str):
+    if calib is not None:
+        sig_a, sig_b, rep_a = cfg.sigma_pixel, cfg.sigma_depth, 2
+    elif residual_kind == "point":
+        sig_a, sig_b, rep_a = cfg.sigma_point, cfg.sigma_point, 2
+    else:
+        sig_a, sig_b, rep_a = cfg.sigma_ray, cfg.sigma_dist, 3
+    return jnp.asarray([1.0 / sig_a] * rep_a + [1.0 / sig_b], jnp.float32)
+
+
+def _edge_terms_gathered(
+    Twc, ii, jj, gat: _Gathered, cfg: BackendConfig,
+    calib=None,
+    residual_kind: str = "ray",
+):
+    """Accumulate per-edge Hessian blocks and gradients from gathered pixels.
+
+    Pose-dependent work only: Sim3 transform, residual + local Jacobian,
+    adjoint transfer, weighted accumulation. Returns H (E, 14, 14), g (E, 14).
+    """
     Ti = Twc[ii]  # (E, 8)
     Tj = Twc[jj]
     Tij = lie.sim3_rel(Ti, Tj)
-
-    if calib is not None:
-        K, height, width = calib
-        m = 3
-        sig_a, sig_b = cfg.sigma_pixel, cfg.sigma_depth
-        rep_a = 2
-    elif residual_kind == "point":
-        m = 3
-        sig_a, sig_b = cfg.sigma_point, cfg.sigma_point
-        rep_a = 2
-    else:
-        m = 4
-        sig_a, sig_b = cfg.sigma_ray, cfg.sigma_dist
-        rep_a = 3
-
-    sig_inv = jnp.asarray([1.0 / sig_a] * rep_a + [1.0 / sig_b], jnp.float32)
+    sig_inv = _sig_inv(cfg, calib, residual_kind)
 
     def body(carry, args):
         H_acc, g_acc = carry
-        idx_c, vm_c, Q_c, pix_c = args  # (E, chunk), ...
-        ind_Xi = jnp.where(vm_c, idx_c, 0)
-        Xi = Xs[ii[:, None], ind_Xi]  # (E, chunk, 3)
-        Ci = Cs[ii[:, None], ind_Xi, 0]
-        Xj = Xs[jj[:, None], pix_c % hw]
-        Cj = Cs[jj[:, None], pix_c % hw, 0]
-        in_range = pix_c < hw
+        Xi, Xj, wq_c, valid_c, ind_c = args  # (E, chunk, …)
 
         Xj_Ci = lie.sim3_act(Tij[:, None, :], Xj)
 
         if calib is not None:
+            K, height, width = calib
             err, J_local, extra_valid = _calib_residual(
-                Xi, Xj_Ci, ind_Xi, K, height, width, cfg.pixel_border, cfg.depth_eps
+                Xi, Xj_Ci, ind_c, K, height, width, cfg.pixel_border, cfg.depth_eps
             )
         elif residual_kind == "point":
             err, J_local, extra_valid = _point_residual(Xi, Xj_Ci)
         else:
             err, J_local, extra_valid = _ray_residual(Xi, Xj_Ci)
 
-        valid = (
-            vm_c
-            & (Q_c > cfg.Q_conf)
-            & (Ci > cfg.C_conf)
-            & (Cj > cfg.C_conf)
-            & extra_valid[..., 0]
-            & in_range
-            & edge_valid[:, None]
-        )
-
-        sqrt_w = jnp.where(valid[..., None], sig_inv * jnp.sqrt(jnp.maximum(Q_c, 0.0))[..., None], 0.0)
+        valid = valid_c & extra_valid[..., 0]
+        sqrt_w = jnp.where(valid[..., None], sig_inv * wq_c[..., None], 0.0)
         w = robust.huber(sqrt_w * err) * sqrt_w * sqrt_w  # (E, chunk, m)
 
         # Transfer local Jacobian to absolute poses: Jj = Adj(Ti)^-T J_local,
@@ -205,14 +248,198 @@ def _edge_terms(
         g_acc = g_acc + jnp.einsum("ecrm,ecr,ecr->em", Jx, w, err)
         return (H_acc, g_acc), None
 
-    def resh(x):
-        return x.reshape(E, n_chunks, chunk).swapaxes(0, 1)
-
+    E = ii.shape[0]
     init = (jnp.zeros((E, 14, 14)), jnp.zeros((E, 14)))
-    (H, g), _ = jax.lax.scan(
-        body, init, (resh(idx_p), resh(vm_p), resh(Q_p), resh(pix_p))
-    )
+    (H, g), _ = jax.lax.scan(body, init, gat)
     return H, g
+
+
+def _edge_terms(
+    Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg: BackendConfig,
+    calib=None,
+    residual_kind: str = "ray",
+):
+    """Gather + accumulate in one call (single-linearization entry point).
+
+    Twc (P, 8); Xs (P, hw, 3); Cs (P, hw, 1); ii/jj (E,); idx_ii2jj (E, hw);
+    valid_match (E, hw); Q (E, hw); edge_valid (E,).
+    Returns H (E, 14, 14), g (E, 14).
+    """
+    gat = _gather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg)
+    return _edge_terms_gathered(Twc, ii, jj, gat, cfg, calib, residual_kind)
+
+
+def _quat_to_mat(qx, qy, qz, qw):
+    """Rotation-matrix entries R[k][p] as 9 broadcastable scalars."""
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    return [
+        [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+    ]
+
+
+def _edge_terms_ray_soa(Twc, ii, jj, gat: _Gathered, cfg: BackendConfig):
+    """Structure-of-arrays accumulation of the ray/dist system (hot path).
+
+    The generic `_edge_terms_gathered` keeps per-pixel (4, 7) Jacobian
+    tensors in the two TRAILING axes, so the VPU sees 4x7 tiles of its
+    (8, 128) lanes (~3% utilization) and tiny-output einsums; at churn
+    shapes that costs ~0.9 s per GN iteration on one v5e. Here every
+    per-pixel quantity is an (E, chunk) array — full lane occupancy, no
+    matmuls — the same math layout the reference's CUDA kernel uses
+    per-thread (gn_kernels.cu:926-1000), vectorized over the chunk axis.
+
+    Exploits Ji = -Jj: only A = Jj^T W Jj (E, 7, 7) and b = Jj^T W err
+    (E, 7) are accumulated; the full system is H = [[A, -A], [-A, A]],
+    g = [-b, b] (`_assemble_dense_A`). Closed forms used (verified against
+    the generic path to f32 round-off):
+
+      Y = Tij o Xj, d = |Y|, ry = Y/d, u = R_i ry
+      J_local rows:   p<=3: [ (I - ry ry^T)/d | -skew(Y)/d | 0 ]
+                      p=4:  [ ry^T | 0 | d ]
+      (M Y = 0 kills the ray rows' scale column; ry^T skew(Y) = 0 kills the
+      dist row's rotation block.)
+      Adjoint transfer per row [a, b, c] with (t, q, s) = T_i:
+        R a_p = (R[:, p] - ry_p u)/d   (p<=3),   R a_4 = u
+        R b_p = -(R[:, p] x u)         (p<=3),   R b_4 = 0
+      so ONE quaternion rotation (u) per pixel serves all four rows.
+    """
+    Ti = Twc[ii]
+    Tij = lie.sim3_rel(Ti, Twc[jj])
+
+    tx, ty, tz = (Tij[:, k, None] for k in range(3))
+    Rr = _quat_to_mat(*(Tij[:, 3 + k, None] for k in range(4)))
+    sc = Tij[:, 7, None]
+
+    at = [Ti[:, k, None] for k in range(3)]
+    Ra = _quat_to_mat(*(Ti[:, 3 + k, None] for k in range(4)))
+    s_inv = 1.0 / Ti[:, 7, None]
+
+    sig = (1.0 / cfg.sigma_ray,) * 3 + (1.0 / cfg.sigma_dist,)
+
+    def rot(R, v1, v2, v3):
+        return (
+            R[0][0] * v1 + R[0][1] * v2 + R[0][2] * v3,
+            R[1][0] * v1 + R[1][1] * v2 + R[1][2] * v3,
+            R[2][0] * v1 + R[2][1] * v2 + R[2][2] * v3,
+        )
+
+    def cross(a, b):
+        return (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
+
+    def body(carry, args):
+        A_acc, b_acc = carry
+        Xi, Xj, wq_c, valid_c, _ind = args
+
+        xi = (Xi[..., 0], Xi[..., 1], Xi[..., 2])
+        rxj = rot(Rr, Xj[..., 0], Xj[..., 1], Xj[..., 2])
+        y = (sc * rxj[0] + tx, sc * rxj[1] + ty, sc * rxj[2] + tz)
+        d = jnp.sqrt(y[0] * y[0] + y[1] * y[1] + y[2] * y[2])
+        dinv = 1.0 / d
+        ry = (y[0] * dinv, y[1] * dinv, y[2] * dinv)
+
+        di = jnp.sqrt(xi[0] ** 2 + xi[1] ** 2 + xi[2] ** 2)
+        di_inv = 1.0 / di
+        e = (
+            ry[0] - xi[0] * di_inv,
+            ry[1] - xi[1] * di_inv,
+            ry[2] - xi[2] * di_inv,
+            d - di,
+        )
+
+        u = rot(Ra, *ry)
+        tu = cross(at, u)
+        tdotu = at[0] * u[0] + at[1] * u[1] + at[2] * u[2]
+
+        J = []
+        for p in range(3):
+            Rcol = (Ra[0][p], Ra[1][p], Ra[2][p])
+            Rap = (
+                (Rcol[0] - ry[p] * u[0]) * dinv,
+                (Rcol[1] - ry[p] * u[1]) * dinv,
+                (Rcol[2] - ry[p] * u[2]) * dinv,
+            )
+            Rbp = cross(Rcol, u)
+            tRa = cross(at, Rap)
+            J.append((
+                s_inv * Rap[0], s_inv * Rap[1], s_inv * Rap[2],
+                -Rbp[0] + s_inv * tRa[0],
+                -Rbp[1] + s_inv * tRa[1],
+                -Rbp[2] + s_inv * tRa[2],
+                s_inv * (at[0] * Rap[0] + at[1] * Rap[1] + at[2] * Rap[2]),
+            ))
+        J.append((
+            s_inv * u[0], s_inv * u[1], s_inv * u[2],
+            s_inv * tu[0], s_inv * tu[1], s_inv * tu[2],
+            d + s_inv * tdotu,
+        ))
+
+        w = []
+        for r in range(4):
+            sw = jnp.where(valid_c, sig[r] * wq_c, 0.0)
+            w.append(robust.huber(sw * e[r]) * sw * sw)
+
+        wJ = [[w[r] * J[r][p] for p in range(7)] for r in range(4)]
+        ups = []
+        for p in range(7):
+            for q in range(p, 7):
+                acc = wJ[0][p] * J[0][q]
+                for r in range(1, 4):
+                    acc = acc + wJ[r][p] * J[r][q]
+                ups.append(jnp.sum(acc, axis=-1))
+        bs = []
+        for p in range(7):
+            acc = wJ[0][p] * e[0]
+            for r in range(1, 4):
+                acc = acc + wJ[r][p] * e[r]
+            bs.append(jnp.sum(acc, axis=-1))
+        return (A_acc + jnp.stack(ups, -1), b_acc + jnp.stack(bs, -1)), None
+
+    E = ii.shape[0]
+    init = (jnp.zeros((E, 28)), jnp.zeros((E, 7)))
+    (A28, b), _ = jax.lax.scan(body, init, gat)
+
+    iu, ju = jnp.triu_indices(7)
+    A = jnp.zeros((E, 7, 7)).at[:, iu, ju].set(A28).at[:, ju, iu].set(A28)
+    return A, b
+
+
+def _assemble_dense_A(A, b, ii, jj, edge_valid, n_poses: int, cfg: BackendConfig):
+    """Scatter the Ji=-Jj block structure H = [[A,-A],[-A,A]], g = [-b, b]
+    into the dense reduced system (same output as `_assemble_dense` on the
+    full 14x14 blocks)."""
+    P = n_poses
+    pin = cfg.pin
+    n_opt = P - pin
+    dim = n_opt * 7
+
+    def opt_idx(a):
+        oi = a - pin
+        return jnp.where((oi < 0) | (~edge_valid), n_opt, oi)
+
+    oi = opt_idx(ii)
+    oj = opt_idx(jj)
+
+    Hd = jnp.zeros((dim + 7, dim + 7))
+    gd = jnp.zeros((dim + 7,))
+    r7 = jnp.arange(7)
+    for a, bb, blk in (
+        (oi, oi, A), (oi, oj, -A), (oj, oi, -A), (oj, oj, A)
+    ):
+        rows = a[:, None, None] * 7 + r7[None, :, None]
+        cols = bb[:, None, None] * 7 + r7[None, None, :]
+        Hd = Hd.at[rows, cols].add(blk)
+    for a, vec in ((oi, -b), (oj, b)):
+        rows = a[:, None] * 7 + r7[None, :]
+        gd = gd.at[rows].add(vec)
+    return Hd[:dim, :dim], gd[:dim]
 
 
 def _assemble_dense(H, g, ii, jj, edge_valid, n_poses: int, cfg: BackendConfig):
@@ -302,6 +529,10 @@ def gauss_newton(
     use_calib=True selects the calibrated reprojection residual.
     """
     calib = (K, img_size[0], img_size[1]) if use_calib else None
+    # Gathers + gates are pose-independent: run them ONCE, not per iteration
+    # (they dominated the solve at churn shapes — 1.6 s/iter at P=32, E=64).
+    gat = _gather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg)
+    use_soa = calib is None and residual_kind == "ray"
 
     def cond(state):
         Twc, it, delta = state
@@ -309,11 +540,13 @@ def gauss_newton(
 
     def body(state):
         Twc, it, _ = state
-        H, g = _edge_terms(
-            Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg, calib,
-            residual_kind,
-        )
-        dx = _assemble_and_solve(H, g, ii, jj, edge_valid, n_poses, cfg)
+        if use_soa:
+            A, b = _edge_terms_ray_soa(Twc, ii, jj, gat, cfg)
+            H_opt, g_opt = _assemble_dense_A(A, b, ii, jj, edge_valid, n_poses, cfg)
+            dx = _solve_dense(H_opt, g_opt, n_poses, cfg)
+        else:
+            H, g = _edge_terms_gathered(Twc, ii, jj, gat, cfg, calib, residual_kind)
+            dx = _assemble_and_solve(H, g, ii, jj, edge_valid, n_poses, cfg)
         Twc_new = lie.sim3_retr(Twc, dx)
         # Keep pinned poses exactly (dx rows are zero but retr(0) is exact id)
         delta = jnp.linalg.norm(dx)
@@ -331,9 +564,11 @@ def _edge_system(
 ):
     """One GN linearization: assembled dense (H, g) for the host solver."""
     calib = (K, img_size[0], img_size[1]) if use_calib else None
-    H, g = _edge_terms(
-        Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg, calib
-    )
+    gat = _gather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_valid, cfg)
+    if calib is None:
+        A, b = _edge_terms_ray_soa(Twc, ii, jj, gat, cfg)
+        return _assemble_dense_A(A, b, ii, jj, edge_valid, n_poses, cfg)
+    H, g = _edge_terms_gathered(Twc, ii, jj, gat, cfg, calib)
     return _assemble_dense(H, g, ii, jj, edge_valid, n_poses, cfg)
 
 
@@ -386,32 +621,42 @@ def gauss_newton_sharded(
         out_specs=(rep, rep),
         check_rep=False,
     )
-    def local_system(Twc_r, Xs_r, Cs_r, ii_s, jj_s, idx_s, vm_s, Q_s, ev_s):
-        H, g = _edge_terms(
-            Twc_r, Xs_r, Cs_r, ii_s, jj_s, idx_s, vm_s, Q_s, ev_s, cfg, calib,
-            residual_kind,
-        )
-        H_opt, g_opt = _assemble_dense(H, g, ii_s, jj_s, ev_s, n_poses, cfg)
-        return (
-            jax.lax.psum(H_opt, axis),
-            jax.lax.psum(g_opt, axis),
-        )
+    def loop_sharded(Twc_r, Xs_r, Cs_r, ii_s, jj_s, idx_s, vm_s, Q_s, ev_s):
+        # Local-edge gathers run ONCE per solve (pose-independent), then the
+        # whole GN loop iterates on the gathered shard; ONE psum of the dense
+        # (dim, dim) system per iteration rides ICI. The tiny replicated
+        # Cholesky + retraction runs redundantly per device (cheaper than
+        # gathering), so every device follows the identical pose trajectory
+        # and the while_loop predicate agrees across the mesh.
+        gat = _gather_edges(Xs_r, Cs_r, ii_s, jj_s, idx_s, vm_s, Q_s, ev_s, cfg)
+        use_soa = calib is None and residual_kind == "ray"
 
-    @jax.jit
-    def run(Twc, Xs, Cs, ii, jj, idx, vm, Q, ev):
         def cond(state):
             _, it, delta = state
             return (it < cfg.max_iters) & (delta >= cfg.delta_norm)
 
         def body(state):
             Twc, it, _ = state
-            H_opt, g_opt = local_system(Twc, Xs, Cs, ii, jj, idx, vm, Q, ev)
+            if use_soa:
+                A, b = _edge_terms_ray_soa(Twc, ii_s, jj_s, gat, cfg)
+                H_opt, g_opt = _assemble_dense_A(
+                    A, b, ii_s, jj_s, ev_s, n_poses, cfg
+                )
+            else:
+                H, g = _edge_terms_gathered(
+                    Twc, ii_s, jj_s, gat, cfg, calib, residual_kind
+                )
+                H_opt, g_opt = _assemble_dense(H, g, ii_s, jj_s, ev_s, n_poses, cfg)
+            H_opt = jax.lax.psum(H_opt, axis)
+            g_opt = jax.lax.psum(g_opt, axis)
             dx = _solve_dense(H_opt, g_opt, n_poses, cfg)
             return lie.sim3_retr(Twc, dx), it + 1, jnp.linalg.norm(dx)
 
-        state = (Twc, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf))
+        state = (Twc_r, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf))
         Twc_out, iters, _ = jax.lax.while_loop(cond, body, state)
         return Twc_out, iters
+
+    run = jax.jit(loop_sharded)
 
     # Place edge arrays on the mesh so XLA shards instead of replicating
     shard = NamedSharding(mesh, edge_specs)

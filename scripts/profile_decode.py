@@ -27,21 +27,27 @@ def main():
     from monst3r_slam_tpu.models.dpt import dpt_forward
     from monst3r_slam_tpu.models.init import init_params
 
+    from monst3r_slam_tpu.models.convert import cast_params_for_inference
+
     h, w = 384, 512
     cfg = MAST3R_512
     n_h, n_w = h // cfg.patch_size, w // cfg.patch_size
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    # bf16 weights: the production inference configuration
+    params = cast_params_for_inference(init_params(jax.random.PRNGKey(0), cfg))
     img = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 3)) * 0.5
     feat, pos = model_api.encode(params, cfg, img)
     np.asarray(feat)
 
     def timed(name, fn):
-        out = fn(feat)
+        # params passed as a jit ARGUMENT: capturing them as closure
+        # constants ships the full ViT-L weights inside every remote-compile
+        # request (the historical "profile_decode dies on the compiler").
+        out = fn(params, feat)
         np.asarray(out[0] if isinstance(out, tuple) else out)
         st = {"f": feat}
 
         def step(k):
-            o = fn(st["f"])
+            o = fn(params, st["f"])
             o0 = o[0] if isinstance(o, tuple) else o
             st["f"] = feat + 1e-6 * o0.reshape(-1)[0].astype(jnp.float32)
             return o0
@@ -49,26 +55,32 @@ def main():
         print(f"{name}_ms: {chain_time(step)*1e3:.2f}", flush=True)
 
     @jax.jit
-    def blocks_only(f):
-        dec1, dec2 = croco.decode_pair(params, cfg, f, pos, feat, pos)
+    def blocks_only(p, f):
+        dec1, dec2 = croco.decode_pair(p, cfg, f, pos, feat, pos)
         return dec1[3]
 
     timed("dec_blocks_only", blocks_only)
 
     @jax.jit
-    def blocks_dpt(f):
-        dec1, dec2 = croco.decode_pair(params, cfg, f, pos, feat, pos)
-        f1 = dpt_forward(params["head1"]["dpt"], cfg, dec1, n_h, n_w)
-        f2 = dpt_forward(params["head2"]["dpt"], cfg, dec2, n_h, n_w)
+    def blocks_dpt(p, f):
+        dec1, dec2 = croco.decode_pair(p, cfg, f, pos, feat, pos)
+        f1 = dpt_forward(p["head1"]["dpt"], cfg, dec1, n_h, n_w)
+        f2 = dpt_forward(p["head2"]["dpt"], cfg, dec2, n_h, n_w)
         return f1 + f2
 
     timed("dec_blocks_2xdpt", blocks_dpt)
 
-    @jax.jit
-    def full(f):
-        return model_api.decode(params, cfg, f, pos, feat, pos, (h, w)).X1
+    def full(p, f):
+        return model_api.decode(p, cfg, f, pos, feat, pos, (h, w)).X1
 
     timed("decode_full", full)
+
+    def full_fused(p, f):
+        return model_api.decode(
+            p, cfg, f, pos, feat, pos, (h, w), fused_heads=True
+        ).X1
+
+    timed("decode_full_fusedheads", full_fused)
 
 
 if __name__ == "__main__":
