@@ -553,9 +553,14 @@ def main():
         _extra["e2e_drain_ms"] = round(
             (time.perf_counter() - t0 - t_loop) * 1e3, 1
         )
-        dt = t_loop / n_e2e
-        _extra["e2e_slam_ms"] = round(dt * 1e3, 2)
-        _extra["e2e_slam_ms_median"] = round(float(np.median(frame_ms)), 2)
+        # Median, not mean: the axon relay charges ~10 s PER DISTINCT PROGRAM
+        # at its first call in a process even on a persistent-cache HIT
+        # (executable upload over the tunnel — a dev-relay artifact, not a
+        # TPU property), so the mean mixes one-time loads of late-reached
+        # (P, E) bucket shapes into the steady state. Mean kept in extras.
+        dt = float(np.median(frame_ms)) / 1e3
+        _extra["e2e_slam_ms_mean"] = round(t_loop / n_e2e * 1e3, 2)
+        _extra["e2e_slam_ms_median"] = round(dt * 1e3, 2)
         _extra["e2e_slam_fps"] = round(1.0 / dt, 3)
         # A reloc-spinning loop must never masquerade as tracking throughput:
         # record how many timed frames actually ran the TRACKING path (the
@@ -566,11 +571,11 @@ def main():
         _extra["e2e_n_kf"] = int(slam.n_kf)
         emit("e2e_slam_fps_512x384_vitl", 1.0 / dt, "frames/s",
              (1.0 / dt) / BASELINE_FPS,
-             note="full main.py loop: process_frame incl. host overheads, "
-                  "sync resolve, async backend, keyframe every "
-                  f"{KF_CADENCE} frames (pinned cadence); every timed "
-                  "frame runs the tracking path (sanitizer resets between "
-                  f"frames: {n_reset}/{n_e2e})")
+             note="full main.py loop (steady-state median): process_frame "
+                  "incl. host overheads, sync resolve, async backend, "
+                  f"keyframe every {KF_CADENCE} frames (pinned cadence); "
+                  "every timed frame runs the tracking path (sanitizer "
+                  f"resets between frames: {n_reset}/{n_e2e})")
     except Exception as e:
         _extra["e2e_error"] = f"{type(e).__name__}: {e}"
         print(f"e2e stage failed: {e!r}", file=sys.stderr, flush=True)
@@ -612,17 +617,17 @@ def main():
         _extra["e2e_churn_drain_ms"] = round(
             (time.perf_counter() - t0 - t_loop) * 1e3, 1
         )
-        dt = t_loop / n_churn
-        _extra["e2e_churn_ms"] = round(dt * 1e3, 2)
-        _extra["e2e_churn_ms_median"] = round(float(np.median(churn_ms)), 2)
+        dt = float(np.median(churn_ms)) / 1e3  # median: see stage-3 note
+        _extra["e2e_churn_ms_mean"] = round(t_loop / n_churn * 1e3, 2)
+        _extra["e2e_churn_ms_median"] = round(dt * 1e3, 2)
         _extra["e2e_churn_n_kf"] = int(slam_ch.n_kf)
         _extra["e2e_churn_tracked_frames"] = f"{n_tracked_ch}/{n_churn}"
         _extra["e2e_churn_sanitizer_resets"] = n_reset_ch
         emit("e2e_slam_kfchurn_fps_512x384_vitl", 1.0 / dt, "frames/s",
              (1.0 / dt) / BASELINE_FPS,
              note="full main.py loop with a keyframe EVERY frame "
-                  "(force_kf=True): keyframe writes + graph edges + "
-                  "retrieval + async backend solve per frame; "
+                  "(force_kf=True, steady-state median): keyframe writes + "
+                  "graph edges + retrieval + async backend solve per frame; "
                   f"{slam_ch.n_kf} keyframes over {n_churn} timed frames; "
                   f"sanitizer resets {n_reset_ch}/{n_churn}")
     except Exception as e:
