@@ -7,6 +7,11 @@ decoder_block(p2, x2, mem=x1): every matmul is batch-B. The batched variant
 stacks the streams (leading dim 2) and vmaps one block over stacked weights,
 so each matmul becomes a 2-group batched dot on the MXU and the attention
 kernel sees batch 2B.
+
+MEASURED (v5e, 2026-08): NEGATIVE. Isolated blocks-only looked ~20% faster
+batched, but a 40-rep A/B of the FULL decode showed 19.2-19.3 ms batched vs
+17.6-17.9 ms lockstep — the stacked carry + per-step x[::-1] reindex cost
+more than the halved launch count saves. decode_pair stays lockstep.
 """
 
 import os

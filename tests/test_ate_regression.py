@@ -416,3 +416,40 @@ def test_reloc_recovers_in_deferred_mode():
         np.stack(slam_d.frame_poses), np.stack(slam_s.frame_poses), atol=1e-5
     )
     np.testing.assert_allclose(rmse_d, rmse_s, atol=1e-6)
+
+def test_force_kf_overrides_device_decision():
+    """process_frame(force_kf=...) pins keyframe creation host-side without
+    touching the compiled tracker (bench/tools cadence control)."""
+    cfg = load_config("config/base.yaml")
+    cfg["tracking"]["Q_conf"] = 1.2
+    cfg["tracking"]["C_conf"] = 1.2
+    # natural gate would fire constantly (impossible threshold)...
+    cfg["tracking"]["match_frac_thresh"] = 2.0
+    cfg["single_thread"] = True
+    slam = OracleSLAM(
+        params={}, model_cfg=TINY, cfg=cfg, img_size=(H, W), kf_capacity=16
+    )
+    gt = gt_trajectory(6)
+    img = np.zeros((H, W, 3), np.float32)
+    for i, T in enumerate(gt):
+        slam.register_frame(T)
+        # ...but force_kf=False suppresses every keyframe after init
+        slam.process_frame(i, i / 30.0, img, force_kf=False)
+    slam.finalize()
+    assert slam.n_kf == 1, slam.n_kf
+
+    cfg2 = load_config("config/base.yaml")
+    cfg2["tracking"]["Q_conf"] = 1.2
+    cfg2["tracking"]["C_conf"] = 1.2
+    # natural gate would never fire...
+    cfg2["tracking"]["match_frac_thresh"] = -1.0
+    cfg2["single_thread"] = True
+    slam2 = OracleSLAM(
+        params={}, model_cfg=TINY, cfg=cfg2, img_size=(H, W), kf_capacity=16
+    )
+    for i, T in enumerate(gt_trajectory(6)):
+        slam2.register_frame(T)
+        # ...but force_kf=True creates one every frame
+        slam2.process_frame(i, i / 30.0, img, force_kf=True)
+    slam2.finalize()
+    assert slam2.n_kf == 6, slam2.n_kf

@@ -157,3 +157,67 @@ def test_gauss_newton_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(T_shard), np.asarray(T_single), atol=1e-4
     )
+
+def test_soa_terms_match_generic_path():
+    """The SoA ray accumulation (`_edge_terms_ray_soa`, the production hot
+    path) must reproduce the generic tensor-form system exactly: A/b vs the
+    14x14 blocks H = [[A,-A],[-A,A]], g = [-b, b], under partial validity,
+    confidence gates, and invalid edges."""
+    rng = np.random.default_rng(0)
+    P, E, hw = 6, 6, 800
+    cfg = backend.BackendConfig(Q_conf=1.2, C_conf=1.1, chunk=256)
+    taus = rng.normal(size=(P, 7)) * 0.1
+    Twc = jnp.stack([lie.sim3_exp(jnp.asarray(t, jnp.float32)) for t in taus])
+    Xs = jax.random.normal(jax.random.PRNGKey(1), (P, hw, 3)) * 0.5 + jnp.asarray(
+        [0.0, 0.0, 3.0]
+    )
+    Cs = jnp.asarray(rng.uniform(0.5, 3.0, (P, hw, 1)).astype(np.float32))
+    ii = jnp.asarray(rng.integers(0, P, (E,)).astype(np.int32))
+    jj = jnp.asarray(((np.asarray(ii) + 1) % P).astype(np.int32))
+    idx = jnp.asarray(rng.integers(0, hw, (E, hw)).astype(np.int32))
+    vm = jnp.asarray(rng.random((E, hw)) > 0.1)
+    Q = jnp.asarray(rng.uniform(0.5, 3.0, (E, hw)).astype(np.float32))
+    ev = jnp.asarray(np.arange(E) < E - 1)
+
+    gat = backend._gather_edges(Xs, Cs, ii, jj, idx, vm, Q, ev, cfg)
+    H, g = backend._edge_terms_gathered(Twc, ii, jj, gat, cfg)
+    A, b = backend._edge_terms_ray_soa(Twc, ii, jj, gat, cfg)
+
+    scale = float(jnp.max(jnp.abs(H)))
+    np.testing.assert_allclose(np.asarray(A), np.asarray(H[:, 7:, 7:]),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(-A), np.asarray(H[:, 0:7, 7:14]),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(H[:, 0:7, 0:7]),
+                               atol=2e-5 * scale)
+    gscale = float(jnp.max(jnp.abs(g)))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(g[:, 7:]),
+                               atol=2e-5 * gscale)
+    np.testing.assert_allclose(np.asarray(-b), np.asarray(g[:, 0:7]),
+                               atol=2e-5 * gscale)
+
+    # the assembled dense systems agree too
+    Hd_a, gd_a = backend._assemble_dense(H, g, ii, jj, ev, P, cfg)
+    Hd_b, gd_b = backend._assemble_dense_A(A, b, ii, jj, ev, P, cfg)
+    np.testing.assert_allclose(np.asarray(Hd_b), np.asarray(Hd_a),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(gd_b), np.asarray(gd_a),
+                               atol=2e-5 * gscale)
+
+
+def test_pixel_subsample_converges_same():
+    """pixel_subsample S>1 solves the strided-residual system; on the
+    consistent synthetic graph the recovered poses match the S=1 solution."""
+    T_true, T_init, Xs, Cs, ii, jj, idx, valid, Q, ev = build_graph(
+        jax.random.PRNGKey(3)
+    )
+    outs = {}
+    for S in (1, 4):
+        cfg = backend.BackendConfig(max_iters=10, chunk=256, pixel_subsample=S)
+        T_out, _ = backend.gauss_newton(
+            T_init, Xs, Cs, ii, jj, idx, valid, Q, ev, cfg, n_poses=4
+        )
+        err = pose_errors(T_out, T_true)
+        assert float(jnp.max(err[1:])) < 1e-3, (S, err)
+        outs[S] = np.asarray(T_out)
+    np.testing.assert_allclose(outs[4], outs[1], atol=1e-4)
