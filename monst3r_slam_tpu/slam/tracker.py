@@ -105,22 +105,132 @@ def opt_pose_ray_dist_sim3(Xf, Xk, T_CkCf_init, Qk, valid, cfg: TrackingConfig):
 
     Xf: (n, 3) frame points (already gathered via idx_f2k), Xk: (n, 3),
     Qk: (n, 1), valid: (n, 1) bool.
+
+    Structure-of-arrays GN body: every per-pixel quantity is an (n,) array
+    (full VPU lane occupancy) and the normal equations use the closed-form
+    Jacobian rows — the generic tensor form keeps (n, 4, 7) trailing dims
+    (~3% lane utilization) plus an (8, 4n)x(4n, 8) Gram matmul. With
+    Y = T o Xf, d = |Y|, ry = Y/d and drd_dX = [(I - ry ry^T)/d ; ry^T]:
+
+        drd_dX @ [I | -skew(Y) | Y]  =  [ (I-ry ry^T)/d | -skew(Y)/d | 0 ]
+                                        [      ry^T     |     0      | d ]
+
+    ((I-ry ry^T) Y = 0 kills the ray rows' scale column; ry^T skew(Y) = 0
+    kills the dist row's rotation block), and J is the negative of that.
+    Semantics (weights, cost, convergence, failure handling) are identical
+    to the generic `_gn_loop` path — asserted by
+    tests/test_tracker.py::test_soa_ray_path_matches_generic.
     """
-    sqrtQ = jnp.sqrt(jnp.maximum(Qk, 0.0))
-    info_ray = (1.0 / cfg.sigma_ray) * valid * sqrtQ
-    info_dist = (1.0 / cfg.sigma_dist) * valid * sqrtQ
-    sqrt_info = jnp.concatenate([jnp.repeat(info_ray, 3, axis=-1), info_dist], axis=-1)
+    sqrtQ = jnp.sqrt(jnp.maximum(Qk[:, 0], 0.0))
+    vf = valid[:, 0]
+    info_ray = jnp.where(vf, (1.0 / cfg.sigma_ray) * sqrtQ, 0.0)  # (n,)
+    info_dist = jnp.where(vf, (1.0 / cfg.sigma_dist) * sqrtQ, 0.0)
 
-    rd_k = geometry.point_to_ray_dist(Xk)
+    rd_k = geometry.point_to_ray_dist(Xk)  # (n, 4)
+    rk = (rd_k[:, 0], rd_k[:, 1], rd_k[:, 2], rd_k[:, 3])
+    xf = (Xf[:, 0], Xf[:, 1], Xf[:, 2])
+    iu, ju = jnp.triu_indices(7)
 
-    def residual(T):
-        Xf_Ck, dX_dT = geometry.act_Sim3(T, Xf, jacobian=True)
-        rd_f, drd_dX = geometry.point_to_ray_dist(Xf_Ck, jacobian=True)
-        r = rd_k - rd_f
-        J = -jnp.einsum("nij,njk->nik", drd_dX, dX_dT)
-        return r, J, sqrt_info
+    def system(T):
+        """Accumulate H (7,7), g_solver (7,), cost — SoA over n."""
+        t = T[0:3]
+        qx, qy, qz, qw = T[3], T[4], T[5], T[6]
+        s = T[7]
+        # rotation matrix entries (scalars)
+        xx, yy, zz = qx * qx, qy * qy, qz * qz
+        xy, xz, yz = qx * qy, qx * qz, qy * qz
+        wx, wy, wz = qw * qx, qw * qy, qw * qz
+        R = (
+            (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)),
+            (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
+            (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
+        )
+        y = tuple(
+            s * (R[k][0] * xf[0] + R[k][1] * xf[1] + R[k][2] * xf[2]) + t[k]
+            for k in range(3)
+        )
+        d = jnp.sqrt(y[0] * y[0] + y[1] * y[1] + y[2] * y[2])
+        dinv = 1.0 / d
+        ry = (y[0] * dinv, y[1] * dinv, y[2] * dinv)
 
-    return _gn_loop(cfg, residual, T_CkCf_init)
+        # residual r = rd_k - rd_f
+        e = (rk[0] - ry[0], rk[1] - ry[1], rk[2] - ry[2], rk[3] - d)
+
+        # J rows (7 entries each), J = -(drd_dX @ dX_dT):
+        #   ray row p:  -[ (delta_pk - ry_p ry_k)/d | -skew(Y)_p/d | 0 ]
+        #   dist row:   -[ ry^T | 0 | d ]
+        sk = (  # skew(Y) rows
+            (jnp.zeros_like(d), -y[2], y[1]),
+            (y[2], jnp.zeros_like(d), -y[0]),
+            (-y[1], y[0], jnp.zeros_like(d)),
+        )
+        J = []
+        for p in range(3):
+            J.append((
+                -(jnp.where(p == 0, 1.0, 0.0) - ry[p] * ry[0]) * dinv,
+                -(jnp.where(p == 1, 1.0, 0.0) - ry[p] * ry[1]) * dinv,
+                -(jnp.where(p == 2, 1.0, 0.0) - ry[p] * ry[2]) * dinv,
+                sk[p][0] * dinv, sk[p][1] * dinv, sk[p][2] * dinv,
+                jnp.zeros_like(d),
+            ))
+        J.append((
+            -ry[0], -ry[1], -ry[2],
+            jnp.zeros_like(d), jnp.zeros_like(d), jnp.zeros_like(d),
+            -d,
+        ))
+
+        # robust weights: omega = info^2 * huber(info * e)
+        info = (info_ray, info_ray, info_ray, info_dist)
+        w = []
+        cost = 0.0
+        for r_ in range(4):
+            wr = info[r_] * info[r_] * robust.huber(info[r_] * e[r_], cfg.huber)
+            w.append(wr)
+            cost = cost + jnp.sum(wr * e[r_] * e[r_])
+        cost = 0.5 * cost
+
+        wJ = [[w[r_] * J[r_][p] for p in range(7)] for r_ in range(4)]
+        ups = []
+        for p in range(7):
+            for q in range(p, 7):
+                acc = wJ[0][p] * J[0][q]
+                for r_ in range(1, 4):
+                    acc = acc + wJ[r_][p] * J[r_][q]
+                ups.append(jnp.sum(acc))
+        H = jnp.zeros((7, 7))
+        A28 = jnp.stack(ups)
+        H = H.at[iu, ju].set(A28).at[ju, iu].set(A28)
+        gs = []
+        for p in range(7):
+            acc = wJ[0][p] * e[0]
+            for r_ in range(1, 4):
+                acc = acc + wJ[r_][p] * e[r_]
+            gs.append(jnp.sum(acc))
+        g = -jnp.stack(gs)  # matches _solve_7x7's g = -A^T b
+        return H, g, cost
+
+    def cond(state):
+        T, old_cost, it, done, ok = state
+        return (~done) & ok & (it < cfg.max_iters)
+
+    def body(state):
+        T, old_cost, it, done, ok_prev = state
+        H, g, new_cost = system(T)
+        L, lower = jax.scipy.linalg.cho_factor(H, lower=True)
+        tau = jax.scipy.linalg.cho_solve((L, lower), g)
+        ok = jnp.all(jnp.isfinite(tau))
+        tau = jnp.where(ok, tau, jnp.zeros_like(tau))
+        T_new = lie.sim3_retr(T, tau)
+        T_new = jnp.where(ok, T_new, T)
+        done = robust.converged(cfg.rel_error, cfg.delta_norm, old_cost, new_cost, tau)
+        return T_new, new_cost, it + 1, done, ok
+
+    init = (
+        T_CkCf_init, jnp.inf, jnp.zeros((), jnp.int32),
+        jnp.zeros((), bool), jnp.ones((), bool),
+    )
+    T, cost, iters, done, ok = jax.lax.while_loop(cond, body, init)
+    return T, iters, ok
 
 
 def opt_pose_calib_sim3(
