@@ -530,12 +530,12 @@ class SLAMSystem:
         out_ij = model_api.PairOutput(*[half(t, 0) for t in out2])
         out_ji = model_api.PairOutput(*[half(t, 1) for t in out2])
         # out_ij: (Xii, Xji); out_ji: (Xjj, Xij)
-        idx_i2j, valid_j = self.match_fn(
-            out_ij.X1, out_ij.X2, out_ij.D1, out_ij.D2
-        )
-        idx_j2i, valid_i = self.match_fn(
-            out_ji.X1, out_ji.X2, out_ji.D1, out_ji.D2
-        )
+        # ONE matcher launch for both directions: the decode output is
+        # already batched [ij | ji] along axis 0, so matching out2 directly
+        # halves the matcher dispatches per keyframe event.
+        idx_all, valid_all = self.match_fn(out2.X1, out2.X2, out2.D1, out2.D2)
+        idx_i2j, idx_j2i = idx_all[:E_pad], idx_all[E_pad:]
+        valid_j, valid_i = valid_all[:E_pad], valid_all[E_pad:]
         Qii = out_ij.Q1.reshape(E_pad, -1, 1)
         Qji = out_ij.Q2.reshape(E_pad, -1, 1)
         Qjj = out_ji.Q1.reshape(E_pad, -1, 1)
