@@ -389,7 +389,10 @@ def main():
                 T_prev, idx_prev = prev
             img_t = imgs[k % len(imgs)]
             uimg_t = uimgs[k % len(uimgs)]
-            uimg_k = uimgs[(k + 1) % len(uimgs)]
+            # keyframe image is FIXED (matches kf_feat_m below): production
+            # flow pairs every frame against the same keyframe until the
+            # next keyframe event, so its device upload caches across frames
+            uimg_k = uimgs[-1]
             feat, pos = model_api.encode(mparams, mcfg_model, img_t)
             out_m = model_api.decode(
                 mparams, mcfg_model, feat, pos, kf_feat_m, kf_pos_m, (h, w)
@@ -405,6 +408,8 @@ def main():
             m = dyn.get_dynamic_mask(
                 uimg_t, uimg_k, T_prev, T_WCk, out.X1[0, ..., 2], K,
                 threshold=0.35, refine=True,
+                # flow reads the device tensor already uploaded for encode
+                img_i_flow=img_t,
             )
             if m.any():
                 mask_flat = jnp.asarray(m.reshape(-1))

@@ -923,6 +923,10 @@ class SLAMSystem:
                         if self._mask_propagator is not None
                         else None
                     ),
+                    # the normalized frame tensor is already on device for
+                    # the encoder; reusing it skips one upload per frame
+                    # (the keyframe image hits the flow program's LRU cache)
+                    img_i_flow=frame.img,
                 )
                 cur_dyn_mask = m
                 self._last_dyn_mask = m

@@ -167,6 +167,7 @@ def get_dynamic_mask(
     refine: bool = False,
     min_area: int = 20,
     refiner: Optional[Callable] = None,
+    img_i_flow=None,
 ) -> np.ndarray:
     """Full dynamic-mask pipeline for a frame pair. Returns bool (h, w).
 
@@ -175,13 +176,21 @@ def get_dynamic_mask(
     refinement stage — e.g. a `TemporalMaskPropagator.as_refiner()` that
     carries masks across frames (then it must also be called on mask-empty
     frames, so the temporal state keeps advancing).
+
+    `img_i_flow` optionally supplies frame i's image for the FLOW stage as a
+    device-resident tensor (u8 or ImgNorm-normalized float — the tensor the
+    encoder already consumed), skipping one host->device upload per frame;
+    `img_i_u8` still feeds the host-side refiner (color models) either way.
     """
     h, w = img_i_u8.shape[:2]
     if K is None:
         return np.zeros((h, w), bool)
     if _flow_error_program is not None:
         err_norm = np.asarray(
-            _flow_error_program(img_i_u8, img_j_u8, T_WCi, T_WCj, depth_i, K)
+            _flow_error_program(
+                img_i_u8 if img_i_flow is None else img_i_flow,
+                img_j_u8, T_WCi, T_WCj, depth_i, K,
+            )
         )
     else:
         flow = compute_flow(img_i_u8, img_j_u8)

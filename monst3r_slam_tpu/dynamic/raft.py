@@ -162,8 +162,71 @@ def _bilinear_lookup_mm(vol, u, v):
     )
 
 
-def corr_lookup(pyr, flow, radius, use_mm: bool = True):
+def _axis_weights(a, d, size):
+    """One-hot-with-bilinear-weight matrix for ONE axis of the tap grid.
+
+    a: (N,) float center coordinate along this axis; d: (K,) INTEGER tap
+    offsets; size: axis length. Returns (N, K, size) where
+    W[n, k, :] carries (1-frac) at clip(floor(a)+d[k]) and frac at +1 —
+    exactly the per-tap clipping semantics of `_bilinear_lookup_mm`
+    (floor(a + d) == floor(a) + d because d is integral).
+    """
+    base0 = jnp.floor(a)[:, None]  # (N, 1)
+    i0 = jnp.clip(base0 + d[None, :], 0, max(size - 2, 0))  # (N, K)
+    frac = jnp.clip(a[:, None] + d[None, :] - i0, 0.0, 1.0)[..., None]
+    pos = jax.lax.broadcasted_iota(jnp.float32, (1, 1, size), 2)
+    i0 = i0[..., None]
+    return jnp.where(pos == i0, 1.0 - frac, 0.0) + jnp.where(
+        pos == i0 + 1, frac, 0.0
+    )
+
+
+def _bilinear_lookup_sep(vol, cu, cv, d):
+    """Separable tap-grid lookup: vol (N, hl, wl); cu/cv (N,) centers;
+    d (K,) integer offsets -> (N, K*K) in (dv-major, du-minor) order.
+
+    The RAFT tap grid is the outer product of K row offsets and K column
+    offsets, so the (N, K^2, hl) one-hot weight matrices of
+    `_bilinear_lookup_mm` contain only K distinct rows each. Factoring the
+    taps into per-axis matrices cuts the materialized weight volume and the
+    first contraction's FLOPs by K (=9 at radius 4):
+
+        out[n, i, j] = sum_{h,w} Wv[n, i, h] * vol[n, h, w] * Wu[n, j, w]
+
+    NEGATIVE RESULT on v5e at 384x512 (scripts/profile_raft_parts.py,
+    scripts/profile_fused_flow.py): the lookup in isolation drops
+    14.2 -> 9.9 ms over 20 iterations, but the FULL flow program gets
+    slower (29.8 -> 34.1 ms raft_flow; 74.6 -> 82.0 ms fused host-to-host)
+    — XLA fuses the 81-tap weight construction into the consuming
+    contraction, while the factored form's (N, 9, 9) batched matmul
+    (M=N=9 per MXU tile) and its layout into the motion-encoder convs cost
+    more than the materialization it saves. Default stays off
+    (_LOOKUP_SEP = False); kept with an exact-equivalence test for
+    larger-radius/TPU-generation re-evaluation.
+    """
+    n, hl, wl = vol.shape
+    Wv = _axis_weights(cv, d, hl)  # (N, K, hl)
+    Wu = _axis_weights(cu, d, wl)  # (N, K, wl)
+    tmp = jnp.einsum(
+        "nih,nhw->niw", Wv, vol, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jnp.einsum(
+        "niw,njw->nij", tmp, Wu, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(n, -1)
+
+
+# module-level default for the separable lookup (A/B toggle for profiling);
+# False: measured slower end-to-end, see _bilinear_lookup_sep docstring
+_LOOKUP_SEP = False
+
+
+def corr_lookup(pyr, flow, radius, use_mm: bool = True, use_sep=None):
     """flow: (H, W, 2) current 1/8-res flow -> (H, W, levels*(2r+1)^2)."""
+    if use_sep is None:
+        use_sep = _LOOKUP_SEP
     h, w = flow.shape[:2]
     n = h * w
     gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(n)
@@ -177,6 +240,9 @@ def corr_lookup(pyr, flow, radius, use_mm: bool = True):
     out = []
     for lvl, vol in enumerate(pyr):
         scale = 2.0**lvl
+        if use_mm and use_sep:
+            out.append(_bilinear_lookup_sep(vol, cx / scale, cy / scale, d))
+            continue
         u = cx[:, None] / scale + du[None, :]
         v = cy[:, None] / scale + dv[None, :]
         out.append(lookup(vol, u, v))
@@ -431,32 +497,83 @@ def make_raft_flow_estimator(params, cfg: RAFTConfig = RAFTConfig()):
     return estimator
 
 
-def make_fused_flow_error_program(params, cfg: RAFTConfig = RAFTConfig()):
+def _to_255(img):
+    """Trace-time dtype dispatch to RAFT's [0, 255] input domain.
+
+    u8 images cast straight to f32. Float images are ImgNorm-normalized
+    ([-1, 1], the tensor the encoder already consumed) and are mapped back
+    with (x + 1) * 127.5 followed by round: for a u8-origin image the
+    round cancels the f32 division rounding of the normalize, so the float
+    path is BIT-EXACT to uploading the u8 (tests/test_raft.py). A leading
+    batch dim is stripped in-program (free; a host-side [0] would cost a
+    dispatch)."""
+    if img.ndim == 4:
+        img = img[0]
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32)
+    return jnp.round((img.astype(jnp.float32) + 1.0) * 127.5)
+
+
+def make_fused_flow_error_program(params, cfg: RAFTConfig = RAFTConfig(),
+                                  out_u8: bool = True):
     """Adapter for dynamic.mask.set_flow_error_program: ONE jitted device
     program for RAFT flow + ego-motion flow + min-max-normalized error map,
     returning only the (h, w) error map to the host (one dispatch, one small
-    transfer, instead of a dispatch chain per stage)."""
+    transfer, instead of a dispatch chain per stage).
+
+    Relay transfers dominated the host-to-host cost (74.6 ms measured vs
+    29.8 ms for the 20-iteration flow compute alone, profile_fused_flow.py),
+    so the adapter additionally:
+      * accepts DEVICE-resident images — the pipeline passes the normalized
+        frame tensor already uploaded for the encoder (zero extra upload);
+      * caches the device copy of repeated host images by identity — the
+        keyframe image recurs every frame until the next keyframe (entries
+        pin their host array, so ids stay valid; callers must not mutate
+        cached arrays in place);
+      * returns the error map quantized to u8 (`out_u8`): the map is
+        min-max normalized to [0, 1] and every consumer thresholds it
+        (0.35 high / 0.45*0.35 low), so 1/255 steps are lossless in effect
+        and the device->host transfer shrinks 4x.
+    """
     import numpy as np
 
     from monst3r_slam_tpu.dynamic import mask as _mask
 
     @jax.jit
     def prog(img_i, img_j, T_i, T_j, depth_i, K):
-        # u8 images, cast on device (4x smaller host->device transfer)
-        flow = raft_flow(
-            params, img_i.astype(jnp.float32), img_j.astype(jnp.float32), cfg
-        )
+        flow = raft_flow(params, _to_255(img_i), _to_255(img_j), cfg)
         ego = _mask.ego_motion_flow(T_i, T_j, depth_i, K)
-        return _mask.flow_error_map(flow, ego)
+        err = _mask.flow_error_map(flow, ego)
+        if out_u8:
+            return jnp.clip(jnp.round(err * 255.0), 0, 255).astype(jnp.uint8)
+        return err
 
-    def adapter(img_i_u8, img_j_u8, T_WCi, T_WCj, depth_i, K):
-        return np.asarray(
+    dev_cache: dict = {}  # id -> (host array ref, device array)
+
+    def to_device(img):
+        if isinstance(img, jax.Array):
+            return img  # batch dim (if any) is stripped in-program
+        key = id(img)
+        hit = dev_cache.get(key)
+        if hit is not None and hit[0] is img:
+            dev_cache[key] = dev_cache.pop(key)  # refresh LRU recency
+            return hit[1]
+        dev = jnp.asarray(img)
+        if len(dev_cache) >= 4:  # tiny LRU: keyframe image + current frame
+            dev_cache.pop(next(iter(dev_cache)))
+        dev_cache[key] = (img, dev)
+        return dev
+
+    def adapter(img_i, img_j, T_WCi, T_WCj, depth_i, K):
+        err = np.asarray(
             prog(
-                jnp.asarray(img_i_u8, jnp.uint8),
-                jnp.asarray(img_j_u8, jnp.uint8),
+                to_device(img_i), to_device(img_j),
                 jnp.asarray(T_WCi), jnp.asarray(T_WCj),
                 jnp.asarray(depth_i), jnp.asarray(K),
             )
         )
+        if out_u8:
+            return err.astype(np.float32) / 255.0
+        return err
 
     return adapter

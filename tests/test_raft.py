@@ -176,6 +176,26 @@ def test_corr_lookup_mm_matches_gather_in_raft():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_corr_lookup_sep_matches_81tap_form():
+    """The separable (9-row x 9-col factored) lookup == the 81-tap matmul
+    form, including per-tap border clipping: flows large enough to push the
+    tap window past every volume edge at every pyramid level."""
+    key = jax.random.PRNGKey(7)
+    h, w, c = 8, 12, 16
+    f1 = jax.random.normal(key, (h, w, c))
+    f2 = jax.random.normal(jax.random.PRNGKey(8), (h, w, c))
+    pyr = raft.corr_pyramid(f1, f2, 3)
+    # level 2 is (2, 3): radius-4 windows clip on all sides everywhere
+    flow = 6.0 * jax.random.normal(jax.random.PRNGKey(9), (h, w, 2))
+    ref = raft.corr_lookup(pyr, flow, 4, use_mm=True, use_sep=False)
+    out = raft.corr_lookup(pyr, flow, 4, use_mm=True, use_sep=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    gather = raft.corr_lookup(pyr, flow, 4, use_mm=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(gather), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_fused_flow_error_program_matches_split_path():
     """raft.make_fused_flow_error_program == compute_flow + ego_motion_flow +
     flow_error_map run separately (the split path is the oracle; the fused
@@ -198,9 +218,14 @@ def test_fused_flow_error_program_matches_split_path():
     ego = np.asarray(dyn.ego_motion_flow(T_i, T_j, depth, K))
     ref = np.asarray(dyn.flow_error_map(jnp.asarray(flow), jnp.asarray(ego)))
 
-    fused = raft.make_fused_flow_error_program(params, cfg)
+    fused = raft.make_fused_flow_error_program(params, cfg, out_u8=False)
     out = fused(u0, u1, T_i, T_j, depth, K)
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    # u8 transfer mode: quantized to 1/255 steps of the [0, 1] map
+    fused_q = raft.make_fused_flow_error_program(params, cfg, out_u8=True)
+    out_q = fused_q(u0, u1, T_i, T_j, depth, K)
+    np.testing.assert_allclose(out_q, ref, atol=0.5 / 255 + 1e-4)
 
     # and get_dynamic_mask consumes the installed program
     dyn.set_flow_error_program(fused)
@@ -209,3 +234,41 @@ def test_fused_flow_error_program_matches_split_path():
         np.testing.assert_array_equal(m, ref > 0.35)
     finally:
         dyn.set_flow_error_program(None)
+
+
+def test_fused_flow_program_device_input_and_cache():
+    """The fused program accepts a device-resident ImgNorm-normalized image
+    for the flow stage (the tensor the encoder consumed) and produces
+    BIT-IDENTICAL output to uploading the raw u8 image — the in-program
+    round((x+1)*127.5) denormalization cancels the normalize's f32 rounding.
+    Repeated host images (the keyframe) hit the adapter's device LRU cache
+    without changing results."""
+    from monst3r_slam_tpu.core import lie
+
+    cfg = raft.RAFTConfig(iters=2)
+    params = raft.init_raft_params(jax.random.PRNGKey(0), cfg)
+    h, w = 32, 40
+    rng = np.random.default_rng(1)
+    u0 = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    u1 = np.roll(u0, 3, axis=1)
+    T_i = jnp.asarray(lie.sim3_identity())
+    T_j = lie.sim3_retr(T_i, jnp.asarray([0.02, 0.0, 0.0, 0.0, 0.01, 0.0, 0.0]))
+    depth = jnp.full((h, w), 2.0)
+    K = jnp.asarray([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], jnp.float32)
+
+    fused = raft.make_fused_flow_error_program(params, cfg)
+    ref = fused(u0, u1, T_i, T_j, depth, K)
+
+    # normalized device tensor, with and without a leading batch dim
+    norm = jnp.asarray((u0.astype(np.float32) / 255.0 - 0.5) / 0.5)
+    out_dev = fused(norm, u1, T_i, T_j, depth, K)
+    np.testing.assert_array_equal(out_dev, ref)
+    out_dev_b = fused(norm[None], u1, T_i, T_j, depth, K)
+    np.testing.assert_array_equal(out_dev_b, ref)
+
+    # repeated identical host array (keyframe case): second call hits the
+    # device cache; a DIFFERENT array with equal content also matches
+    again = fused(u0, u1, T_i, T_j, depth, K)
+    np.testing.assert_array_equal(again, ref)
+    fresh = fused(u0.copy(), u1.copy(), T_i, T_j, depth, K)
+    np.testing.assert_array_equal(fresh, ref)
