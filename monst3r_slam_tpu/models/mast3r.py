@@ -72,7 +72,10 @@ def decode(
     `fused_heads` runs head1+head2 as ONE vmapped pass over stacked head
     params: XLA lowers the two batch-B conv chains into a single
     grouped-conv chain of batch 2B (feature_group_count batching rule), so
-    each DPT/regression conv launches once instead of twice.
+    each DPT/regression conv launches once instead of twice. NEGATIVE
+    RESULT on v5e at 384x512 (scripts/profile_decode.py): full decode
+    22.6 ms -> 33.4 ms fused — grouped convs hit a slower conv path than
+    two sequential dense convs here. Default stays off.
     """
     h, w = shape
     n_h, n_w = h // cfg.patch_size, w // cfg.patch_size
