@@ -397,19 +397,28 @@ def main():
             out_m = model_api.decode(
                 mparams, mcfg_model, feat, pos, kf_feat_m, kf_pos_m, (h, w)
             )
-            out_a = model_api.decode(
-                params, cfg, feat, pos, kf_feat_m, kf_pos_m, (h, w)
-            )
-            out = model_api.PairOutput(
-                X1=out_m.X1, C1=out_m.C1, D1=out_a.D1, Q1=out_a.Q1,
-                X2=out_m.X2, C2=out_m.C2, D2=out_a.D2, Q2=out_a.Q2,
-            )
+            # The MASt3R (D/Q) decode is dispatched mid-mask via overlap_cb:
+            # it runs on-device while the host does hysteresis + GrabCut
+            # (same overlap as app/pipeline.py's dual tracking path).
+            box = {}
+
+            def _dispatch_mast3r():
+                box["out_a"] = model_api.decode(
+                    params, cfg, feat, pos, kf_feat_m, kf_pos_m, (h, w)
+                )
+
             # host-side dynamic mask (flow backend = fused JAX RAFT, 20 iters)
             m = dyn.get_dynamic_mask(
-                uimg_t, uimg_k, T_prev, T_WCk, out.X1[0, ..., 2], K,
+                uimg_t, uimg_k, T_prev, T_WCk, out_m.X1[0, ..., 2], K,
                 threshold=0.35, refine=True,
                 # flow reads the device tensor already uploaded for encode
                 img_i_flow=img_t,
+                overlap_cb=_dispatch_mast3r,
+            )
+            out_a = box["out_a"]
+            out = model_api.PairOutput(
+                X1=out_m.X1, C1=out_m.C1, D1=out_a.D1, Q1=out_a.Q1,
+                X2=out_m.X2, C2=out_m.C2, D2=out_a.D2, Q2=out_a.Q2,
             )
             if m.any():
                 mask_flat = jnp.asarray(m.reshape(-1))
@@ -508,6 +517,14 @@ def main():
         e_cfg["local_opt"]["min_match_frac"] = 0.0
         e_cfg.setdefault("matching", {})["dist_thresh"] = 1e9
         e_cfg["defer_tracking_sync"] = False
+        # Pin the (P, E) pad buckets so the timed loop NEVER first-calls a
+        # new solve/edge-decode program shape: each first call costs ~10 s of
+        # executable upload on the relay (BENCH_r03 baseline run: 67 s of
+        # drain + a 2x-polluted median from exactly these crossings). This
+        # run reaches n_kf<=8 / ~16 graph edges / <=4 edges per keyframe
+        # event, all within one bucket each.
+        e_cfg["edge_bucket_lo"] = 4
+        e_cfg["local_opt"]["edge_pad_lo"] = 16
         # Keyframe cadence is CONTROLLED via process_frame(force_kf=...):
         # random weights give an arbitrary match fraction, so the natural
         # gate degenerates to a keyframe (or none) EVERY frame — neither is
@@ -566,6 +583,7 @@ def main():
         dt = float(np.median(frame_ms)) / 1e3
         _extra["e2e_slam_ms_mean"] = round(t_loop / n_e2e * 1e3, 2)
         _extra["e2e_slam_ms_median"] = round(dt * 1e3, 2)
+        _extra["e2e_frame_ms"] = [round(x, 1) for x in frame_ms]
         _extra["e2e_slam_fps"] = round(1.0 / dt, 3)
         # A reloc-spinning loop must never masquerade as tracking throughput:
         # record how many timed frames actually ran the TRACKING path (the
@@ -592,8 +610,17 @@ def main():
     # Same config as stage 3 -> same compiled tracker program.
     wd.phase("e2e_churn_init", 240)
     try:
+        import copy as _copy
+
+        # Churn reaches n_kf ~19 / ~50 graph edges: pin its solve buckets one
+        # size up so the pose bucket never crosses 8->16->32 mid-loop (its
+        # solve program shape differs from stage 3's and is first-called
+        # during this stage's own warmup). Same tracker/edge-decode programs.
+        ch_cfg = _copy.deepcopy(e_cfg)
+        ch_cfg["local_opt"]["pose_pad_lo"] = 32
+        ch_cfg["local_opt"]["edge_pad_lo"] = 64
         slam_ch = SLAMSystem(
-            params=params, model_cfg=cfg, cfg=e_cfg, img_size=(h, w),
+            params=params, model_cfg=cfg, cfg=ch_cfg, img_size=(h, w),
         )
         sanitize_ch = make_sanitizer(slam_ch, Mode)
         n_churn = 3 if SMOKE else 12
@@ -625,6 +652,7 @@ def main():
         dt = float(np.median(churn_ms)) / 1e3  # median: see stage-3 note
         _extra["e2e_churn_ms_mean"] = round(t_loop / n_churn * 1e3, 2)
         _extra["e2e_churn_ms_median"] = round(dt * 1e3, 2)
+        _extra["e2e_churn_frame_ms"] = [round(x, 1) for x in churn_ms]
         _extra["e2e_churn_n_kf"] = int(slam_ch.n_kf)
         _extra["e2e_churn_tracked_frames"] = f"{n_tracked_ch}/{n_churn}"
         _extra["e2e_churn_sanitizer_resets"] = n_reset_ch

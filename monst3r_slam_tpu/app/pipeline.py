@@ -84,6 +84,8 @@ def backend_config_from_dict(cfg: dict) -> BackendConfig:
         pixel_border=b.get("pixel_border", -10.0),
         depth_eps=b.get("depth_eps", 1e-6),
         pixel_subsample=int(b.get("pixel_subsample", 1)),
+        pose_pad_lo=int(b.get("pose_pad_lo", 8)),
+        edge_pad_lo=int(b.get("edge_pad_lo", 8)),
     )
 
 
@@ -306,6 +308,9 @@ class SLAMSystem:
         self.use_calib = bool(self.cfg.get("use_calib", False))
         self.track_cfg = tracking_config_from_dict(self.cfg)
         self.backend_cfg = backend_config_from_dict(self.cfg)
+        # Edge-decode batch bucket floor (see _add_keyframe_edges): >1 pins
+        # short runs to one decode-program shape at the cost of padded decode
+        self.edge_bucket_lo = int(self.cfg.get("edge_bucket_lo", 1))
         self.match_cfg = matching_config_from_dict(self.cfg)
         self.match_fn = make_matcher(self.cfg)
         self.match_mode = matcher_mode(self.cfg)
@@ -508,7 +513,10 @@ class SLAMSystem:
         # compiles a fresh dual-decoder program over the remote compiler
         # (minutes each); buckets bound the variants to {1, 2, 4, 8, ...}.
         # Padding repeats edge 0 — its duplicate results are simply unread.
-        E_pad = 1
+        # `edge_bucket_lo` raises the floor so short runs stay in ONE bucket
+        # (one decode program) instead of crossing 1 -> 2 -> 4 as the graph
+        # grows; the extra padded-edge decode compute is the price.
+        E_pad = self.edge_bucket_lo
         while E_pad < E:
             E_pad *= 2
         pad_i = kf_i_list + [kf_i_list[0]] * (E_pad - E)
@@ -685,7 +693,7 @@ class SLAMSystem:
             self.backend_stall_s += time.perf_counter() - t0
             return
         n_kf = int(self.mem.count)
-        P = min(_next_pow2(n_kf), self.mem.capacity)
+        P = min(_next_pow2(n_kf, self.backend_cfg.pose_pad_lo), self.mem.capacity)
         # _snap_slice, not `[:P]`: when P == capacity a trivial slice ALIASES
         # the live buffer, which the tracker donates every frame — the worker
         # would then Execute() on a deleted buffer (race found by the async
@@ -890,9 +898,6 @@ class SLAMSystem:
         # but the slice only changes on keyframe/backend events)
         kf_idx = self.n_kf - 1
         kf_feat, kf_pos, kf_T_WC, kf_idx_dev = self._kf_view(kf_idx)
-        out = self._decode_pair(
-            frame.feat, frame.pos, kf_feat, kf_pos
-        )
 
         # Dynamic-object filtering (tracker2.py:79-122): zero frame-side
         # confidences/descriptors on pixels whose optical flow disagrees with
@@ -904,88 +909,122 @@ class SLAMSystem:
         # tracker2); base config enables `use_dynamic_mask` globally like the
         # reference, but main.py's plain MASt3R tracker (tracker.py) never
         # computes masks — gate on the dual model being present.
-        if (
+        kf_uimg = self.kf_uimgs[kf_idx] if kf_idx < len(self.kf_uimgs) else None
+        mask_this_frame = (
             self.use_dynamic_mask
             and self.dual is not None
             and self.K is not None
             and uimg is not None
-        ):
-            kf_uimg = self.kf_uimgs[kf_idx] if kf_idx < len(self.kf_uimgs) else None
-            if kf_uimg is not None:
-                from monst3r_slam_tpu.dynamic import mask as dyn
+            and kf_uimg is not None
+        )
+        if mask_this_frame and self.easi3r is None:
+            # Dual path with a mask coming: split the dual decode so the
+            # MASt3R (D/Q) half is dispatched mid-mask via `overlap_cb` —
+            # it executes on-device while the host runs hysteresis +
+            # GrabCut/SAM2 refinement (which only needs the MonST3R half's
+            # depth). ~one full decode hidden per masked frame.
+            out_m = model_api.decode(
+                self.dual.monst3r, self.dual.monst3r_cfg,
+                frame.feat, frame.pos, kf_feat, kf_pos, self.img_size,
+            )
+            box = {}
 
-                depth_i = out.X1[0, ..., 2]
-                m = dyn.get_dynamic_mask(
-                    uimg, kf_uimg, frame.T_WC, kf_T_WC, depth_i, self.K,
-                    threshold=self.dyn_threshold, refine=self.dyn_refine,
-                    refiner=(
-                        self._mask_propagator.as_refiner()
-                        if self._mask_propagator is not None
-                        else None
-                    ),
-                    # the normalized frame tensor is already on device for
-                    # the encoder; reusing it skips one upload per frame
-                    # (the keyframe image hits the flow program's LRU cache)
-                    img_i_flow=frame.img,
+            def _dispatch_mast3r():
+                box["out_a"] = model_api.decode(
+                    self.dual.mast3r, self.dual.mast3r_cfg,
+                    frame.feat, frame.pos, kf_feat, kf_pos, self.img_size,
                 )
-                cur_dyn_mask = m
-                self._last_dyn_mask = m
-                # Debug overlay (tracker2.py:132-157; same config key, same
-                # default-on behavior, same logs/ layout).
-                if self.cfg.get("debug_save_dynamic_mask", True):
+
+            overlap_cb = _dispatch_mast3r
+            out = None
+        else:
+            out = self._decode_pair(
+                frame.feat, frame.pos, kf_feat, kf_pos
+            )
+            out_m, overlap_cb = out, None
+        if mask_this_frame:
+            from monst3r_slam_tpu.dynamic import mask as dyn
+
+            depth_i = out_m.X1[0, ..., 2]
+            m = dyn.get_dynamic_mask(
+                uimg, kf_uimg, frame.T_WC, kf_T_WC, depth_i, self.K,
+                threshold=self.dyn_threshold, refine=self.dyn_refine,
+                refiner=(
+                    self._mask_propagator.as_refiner()
+                    if self._mask_propagator is not None
+                    else None
+                ),
+                # the normalized frame tensor is already on device for
+                # the encoder; reusing it skips one upload per frame
+                # (the keyframe image hits the flow program's LRU cache)
+                img_i_flow=frame.img,
+                overlap_cb=overlap_cb,
+            )
+            if out is None:
+                # get_dynamic_mask guarantees overlap_cb ran exactly once
+                out_a = box["out_a"]
+                out = model_api.PairOutput(
+                    X1=out_m.X1, C1=out_m.C1, D1=out_a.D1, Q1=out_a.Q1,
+                    X2=out_m.X2, C2=out_m.C2, D2=out_a.D2, Q2=out_a.Q2,
+                )
+            cur_dyn_mask = m
+            self._last_dyn_mask = m
+            # Debug overlay (tracker2.py:132-157; same config key, same
+            # default-on behavior, same logs/ layout).
+            if self.cfg.get("debug_save_dynamic_mask", True):
+                try:
+                    from monst3r_slam_tpu.viz import debug as dbgviz
+
+                    dbgviz.save_mask_overlay(
+                        self._debug_dir("debug_dynamic_mask")
+                        / f"frame_{frame_id:06d}.png",
+                        uimg, m, color=(255, 0, 0), alpha=0.5,
+                    )
+                except Exception as e:  # best-effort, like the reference
+                    print(f"dynamic-mask overlay failed for {frame_id}: {e}")
+            if m.any():
+                C1_before = out.C1
+                C1m, D1m, Q1m = dyn.apply_dynamic_mask_native(
+                    out.C1, out.D1, out.Q1, jnp.asarray(m)
+                )
+                out = out._replace(C1=C1m, D1=D1m, Q1=Q1m)
+                # Optional pointmap-masking debug panels / 3D scatter
+                # (monst3r_utils.py:789-1009; config keys from the
+                # reference base.yaml, default off).
+                if self.cfg.get(
+                    "debug_save_pointmap_visualization", False
+                ) or self.cfg.get("debug_save_3d_pointclouds", False):
                     try:
                         from monst3r_slam_tpu.viz import debug as dbgviz
 
-                        dbgviz.save_mask_overlay(
-                            self._debug_dir("debug_dynamic_mask")
-                            / f"frame_{frame_id:06d}.png",
-                            uimg, m, color=(255, 0, 0), alpha=0.5,
-                        )
-                    except Exception as e:  # best-effort, like the reference
-                        print(f"dynamic-mask overlay failed for {frame_id}: {e}")
-                if m.any():
-                    C1_before = out.C1
-                    C1m, D1m, Q1m = dyn.apply_dynamic_mask_native(
-                        out.C1, out.D1, out.Q1, jnp.asarray(m)
-                    )
-                    out = out._replace(C1=C1m, D1=D1m, Q1=Q1m)
-                    # Optional pointmap-masking debug panels / 3D scatter
-                    # (monst3r_utils.py:789-1009; config keys from the
-                    # reference base.yaml, default off).
-                    if self.cfg.get(
-                        "debug_save_pointmap_visualization", False
-                    ) or self.cfg.get("debug_save_3d_pointclouds", False):
-                        try:
-                            from monst3r_slam_tpu.viz import debug as dbgviz
-
-                            h_, w_ = self.img_size
-                            Xhw = np.asarray(out.X1).reshape(h_, w_, 3)
-                            Cb = np.asarray(C1_before).reshape(h_, w_)
-                            Ca = np.asarray(out.C1).reshape(h_, w_)
-                            if self.cfg.get(
-                                "debug_save_pointmap_visualization", False
-                            ):
-                                dbgviz.save_pointmap_visualization(
-                                    Xhw, Cb, Xhw, Ca, frame_id,
-                                    self._debug_dir("debug_pointmap_visualization"),
-                                )
-                            if self.cfg.get("debug_save_3d_pointclouds", False):
-                                dbgviz.save_3d_pointcloud_comparison(
-                                    Xhw, Cb, Xhw, Ca, frame_id,
-                                    self._debug_dir("debug_3d_pointclouds"),
-                                )
-                        except Exception as e:
-                            print(f"pointmap debug dump failed for {frame_id}: {e}")
-                kf_mask = (
-                    self.kf_dyn_masks[kf_idx]
-                    if kf_idx < len(self.kf_dyn_masks)
-                    else None
+                        h_, w_ = self.img_size
+                        Xhw = np.asarray(out.X1).reshape(h_, w_, 3)
+                        Cb = np.asarray(C1_before).reshape(h_, w_)
+                        Ca = np.asarray(out.C1).reshape(h_, w_)
+                        if self.cfg.get(
+                            "debug_save_pointmap_visualization", False
+                        ):
+                            dbgviz.save_pointmap_visualization(
+                                Xhw, Cb, Xhw, Ca, frame_id,
+                                self._debug_dir("debug_pointmap_visualization"),
+                            )
+                        if self.cfg.get("debug_save_3d_pointclouds", False):
+                            dbgviz.save_3d_pointcloud_comparison(
+                                Xhw, Cb, Xhw, Ca, frame_id,
+                                self._debug_dir("debug_3d_pointclouds"),
+                            )
+                    except Exception as e:
+                        print(f"pointmap debug dump failed for {frame_id}: {e}")
+            kf_mask = (
+                self.kf_dyn_masks[kf_idx]
+                if kf_idx < len(self.kf_dyn_masks)
+                else None
+            )
+            if kf_mask is not None and kf_mask.any():
+                C2m, D2m, Q2m = dyn.apply_dynamic_mask_native(
+                    out.C2, out.D2, out.Q2, jnp.asarray(kf_mask)
                 )
-                if kf_mask is not None and kf_mask.any():
-                    C2m, D2m, Q2m = dyn.apply_dynamic_mask_native(
-                        out.C2, out.D2, out.Q2, jnp.asarray(kf_mask)
-                    )
-                    out = out._replace(C2=C2m, D2=D2m, Q2=Q2m)
+                out = out._replace(C2=C2m, D2=D2m, Q2=Q2m)
 
         if self.match_mode != "lm":
             # Matching fused into the tracking program: one dispatch for

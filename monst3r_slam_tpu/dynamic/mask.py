@@ -104,6 +104,7 @@ def compute_flow(img_i: np.ndarray, img_j: np.ndarray) -> np.ndarray:
 
 
 _flow_error_program: Optional[Callable] = None
+_flow_error_program_takes_cb: bool = False
 
 
 def set_flow_error_program(fn: Optional[Callable]):
@@ -115,9 +116,24 @@ def set_flow_error_program(fn: Optional[Callable]):
     latency on a remote-relay TPU); one jitted program that takes both images
     and returns only the error map pays one dispatch and moves one (h, w)
     array. raft.make_fused_flow_error_program builds the RAFT-backed one.
+
+    Programs may additionally accept an `overlap_cb` keyword (detected via
+    signature inspection): a zero-arg callable they must invoke AFTER
+    dispatching the flow program but BEFORE blocking on its result, so the
+    caller can enqueue independent device work (the dual pipeline's MASt3R
+    decode) that executes while the host consumes the error map.
     """
-    global _flow_error_program
+    global _flow_error_program, _flow_error_program_takes_cb
     _flow_error_program = fn
+    takes_cb = False
+    if fn is not None:
+        import inspect
+
+        try:
+            takes_cb = "overlap_cb" in inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            takes_cb = False
+    _flow_error_program_takes_cb = takes_cb
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +184,7 @@ def get_dynamic_mask(
     min_area: int = 20,
     refiner: Optional[Callable] = None,
     img_i_flow=None,
+    overlap_cb: Optional[Callable] = None,
 ) -> np.ndarray:
     """Full dynamic-mask pipeline for a frame pair. Returns bool (h, w).
 
@@ -181,18 +198,35 @@ def get_dynamic_mask(
     device-resident tensor (u8 or ImgNorm-normalized float — the tensor the
     encoder already consumed), skipping one host->device upload per frame;
     `img_i_u8` still feeds the host-side refiner (color models) either way.
+
+    `overlap_cb` (zero-arg) dispatches independent device work so it runs
+    while the host does hysteresis + refinement: it is invoked right after
+    the flow-error program is enqueued (before blocking on its result) when
+    the installed program supports mid-call callbacks, else up front.
+    Exactly-once: call sites may rely on it having run by return time.
     """
     h, w = img_i_u8.shape[:2]
     if K is None:
+        if overlap_cb is not None:
+            overlap_cb()
         return np.zeros((h, w), bool)
     if _flow_error_program is not None:
+        kw = {}
+        if overlap_cb is not None:
+            if _flow_error_program_takes_cb:
+                kw["overlap_cb"] = overlap_cb
+            else:
+                overlap_cb()
         err_norm = np.asarray(
             _flow_error_program(
                 img_i_u8 if img_i_flow is None else img_i_flow,
-                img_j_u8, T_WCi, T_WCj, depth_i, K,
+                img_j_u8, T_WCi, T_WCj, depth_i, K, **kw,
             )
         )
     else:
+        # host-side flow: the device is idle during it, enqueue first
+        if overlap_cb is not None:
+            overlap_cb()
         flow = compute_flow(img_i_u8, img_j_u8)
         ego = np.asarray(ego_motion_flow(T_WCi, T_WCj, depth_i, K))
         err_norm = np.asarray(flow_error_map(jnp.asarray(flow), jnp.asarray(ego)))

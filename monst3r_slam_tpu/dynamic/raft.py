@@ -564,14 +564,18 @@ def make_fused_flow_error_program(params, cfg: RAFTConfig = RAFTConfig(),
         dev_cache[key] = (img, dev)
         return dev
 
-    def adapter(img_i, img_j, T_WCi, T_WCj, depth_i, K):
-        err = np.asarray(
-            prog(
-                to_device(img_i), to_device(img_j),
-                jnp.asarray(T_WCi), jnp.asarray(T_WCj),
-                jnp.asarray(depth_i), jnp.asarray(K),
-            )
+    def adapter(img_i, img_j, T_WCi, T_WCj, depth_i, K, overlap_cb=None):
+        # async dispatch: `dev` is a future; independent device work enqueued
+        # via overlap_cb executes after the flow program while the host is
+        # busy consuming the error map (hysteresis + GrabCut/SAM2 refine)
+        dev = prog(
+            to_device(img_i), to_device(img_j),
+            jnp.asarray(T_WCi), jnp.asarray(T_WCj),
+            jnp.asarray(depth_i), jnp.asarray(K),
         )
+        if overlap_cb is not None:
+            overlap_cb()
+        err = np.asarray(dev)
         if out_u8:
             return err.astype(np.float32) / 255.0
         return err

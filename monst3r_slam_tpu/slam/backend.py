@@ -53,6 +53,14 @@ class BackendConfig(NamedTuple):
     # reference's exact every-pixel semantics (gn_kernels.cu accumulates all
     # valid pixels).
     pixel_subsample: int = 1
+    # Pad-bucket FLOORS for the solve's (P poses, E edges) shapes. Every
+    # distinct padded shape compiles (and, on a relay-backed TPU, uploads) a
+    # fresh solve program; raising the floors pins short runs to ONE shape so
+    # no bucket crossing lands mid-run. Padding slots are masked out of the
+    # normal equations, so results are unchanged — only padded-slot compute
+    # is wasted. Defaults preserve the historical {8, 16, 32, ...} buckets.
+    pose_pad_lo: int = 8
+    edge_pad_lo: int = 8
 
 
 def _point_jac_local(P: jax.Array) -> jax.Array:

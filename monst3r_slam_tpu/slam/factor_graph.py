@@ -88,7 +88,7 @@ class FactorGraph:
         n_kf = int(mem.count)
         if self.n_edges == 0 or n_kf <= cfg.pin:
             return mem
-        P = min(_next_pow2(n_kf), mem.capacity)
+        P = min(_next_pow2(n_kf, cfg.pose_pad_lo), mem.capacity)
         Twc_new = self.solve_poses(
             mem.T_WC[:P], mem.X_canon[:P],
             mem.C[:P] / jnp.maximum(mem.N[:P, None, None].astype(jnp.float32), 1.0),
@@ -118,7 +118,7 @@ class FactorGraph:
         if self.n_edges == 0 or n_kf <= cfg.pin:
             return None
         P = Twc.shape[0]
-        E = _next_pow2(self.n_edges)
+        E = _next_pow2(self.n_edges, cfg.edge_pad_lo)
         if use_calib:
             from monst3r_slam_tpu.core import geometry
 

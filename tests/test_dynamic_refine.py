@@ -196,3 +196,69 @@ def test_temporal_propagation_drops_stopped_objects():
         coast.append(m.any())
     assert coast[0] and coast[1]  # coasts through max_coast frames
     assert not coast[2] and not coast[3]  # then returns to static
+
+
+def test_get_dynamic_mask_overlap_cb_exactly_once():
+    """`overlap_cb` must run exactly once per get_dynamic_mask call in every
+    backend path (the dual pipeline dispatches its MASt3R decode from it and
+    reads the result unconditionally afterwards, app/pipeline.py)."""
+    import jax.numpy as jnp
+
+    from monst3r_slam_tpu.core import lie
+    from monst3r_slam_tpu.dynamic import mask as dyn
+
+    img, err, _ = _synthetic_scene()
+    h, w = err.shape
+    K = jnp.asarray([[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1]])
+    T = lie.sim3_identity()
+    depth = jnp.ones((h, w))
+    calls = []
+
+    def run():
+        calls.clear()
+        m = dyn.get_dynamic_mask(
+            img, img, T, T, depth, K, refine=True,
+            overlap_cb=lambda: calls.append(1),
+        )
+        assert len(calls) == 1
+        return m
+
+    # path 1: host-flow fallback (no program installed)
+    dyn.set_flow_estimator(
+        lambda a, b: np.stack([err, np.zeros_like(err)], -1)
+    )
+    try:
+        m_fallback = run()
+    finally:
+        dyn.set_flow_estimator(None)
+
+    # path 2: installed fused program WITHOUT overlap_cb support
+    dyn.set_flow_error_program(lambda ii, jj, Ti, Tj, d, Km: err)
+    try:
+        m_legacy = run()
+    finally:
+        dyn.set_flow_error_program(None)
+
+    # path 3: installed fused program WITH overlap_cb support must receive
+    # and invoke the callback itself (mid-call, after dispatch)
+    def prog_with_cb(ii, jj, Ti, Tj, d, Km, overlap_cb=None):
+        assert overlap_cb is not None
+        overlap_cb()
+        return err
+
+    dyn.set_flow_error_program(prog_with_cb)
+    try:
+        m_cb = run()
+    finally:
+        dyn.set_flow_error_program(None)
+
+    # identical error maps -> identical masks across paths
+    np.testing.assert_array_equal(m_legacy, m_cb)
+
+    # path 4: K=None early-out still runs the callback
+    calls.clear()
+    m_nok = dyn.get_dynamic_mask(
+        img, img, T, T, depth, None, refine=True,
+        overlap_cb=lambda: calls.append(1),
+    )
+    assert len(calls) == 1 and not m_nok.any()
