@@ -415,6 +415,11 @@ def main():
                 img_i_flow=img_t,
                 overlap_cb=_dispatch_mast3r,
             )
+            if "out_a" not in box:
+                raise RuntimeError(
+                    "flow-error program broke the overlap_cb contract "
+                    "(callback never invoked)"
+                )
             out_a = box["out_a"]
             out = model_api.PairOutput(
                 X1=out_m.X1, C1=out_m.C1, D1=out_a.D1, Q1=out_a.Q1,

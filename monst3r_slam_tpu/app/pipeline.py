@@ -69,6 +69,16 @@ def tracking_config_from_dict(cfg: dict) -> tracker_mod.TrackingConfig:
     )
 
 
+def _pow2_floor(name: str, v: int) -> int:
+    """Round a pad-bucket floor up to a power of two: a non-pow2 floor (e.g.
+    12) would spawn its own bucket ladder (12, 24, 48, ...) disjoint from the
+    documented {8, 16, 32, ...} buckets every other run shape compiles."""
+    v = int(v)
+    if v < 1:
+        raise ValueError(f"{name} must be >= 1, got {v}")
+    return 1 << (v - 1).bit_length()
+
+
 def backend_config_from_dict(cfg: dict) -> BackendConfig:
     b = cfg.get("local_opt", {})
     return BackendConfig(
@@ -84,8 +94,8 @@ def backend_config_from_dict(cfg: dict) -> BackendConfig:
         pixel_border=b.get("pixel_border", -10.0),
         depth_eps=b.get("depth_eps", 1e-6),
         pixel_subsample=int(b.get("pixel_subsample", 1)),
-        pose_pad_lo=int(b.get("pose_pad_lo", 8)),
-        edge_pad_lo=int(b.get("edge_pad_lo", 8)),
+        pose_pad_lo=_pow2_floor("pose_pad_lo", b.get("pose_pad_lo", 8)),
+        edge_pad_lo=_pow2_floor("edge_pad_lo", b.get("edge_pad_lo", 8)),
     )
 
 
@@ -305,12 +315,15 @@ class SLAMSystem:
     def __post_init__(self):
         h, w = self.img_size
         self.hw = h * w
+        self.kf_capacity = int(self.cfg.get("kf_capacity", self.kf_capacity))
         self.use_calib = bool(self.cfg.get("use_calib", False))
         self.track_cfg = tracking_config_from_dict(self.cfg)
         self.backend_cfg = backend_config_from_dict(self.cfg)
         # Edge-decode batch bucket floor (see _add_keyframe_edges): >1 pins
         # short runs to one decode-program shape at the cost of padded decode
-        self.edge_bucket_lo = int(self.cfg.get("edge_bucket_lo", 1))
+        self.edge_bucket_lo = _pow2_floor(
+            "edge_bucket_lo", self.cfg.get("edge_bucket_lo", 1)
+        )
         self.match_cfg = matching_config_from_dict(self.cfg)
         self.match_fn = make_matcher(self.cfg)
         self.match_mode = matcher_mode(self.cfg)
@@ -782,6 +795,27 @@ class SLAMSystem:
             self._backend_jobs.join()
         self._apply_backend_results()
 
+    def _append_keyframe(self, frame: Frame) -> int:
+        """Append to keyframe memory with an EXPLICIT capacity policy.
+
+        The keyframe buffers are fixed-shape (XLA compile-once); past
+        capacity, `.at[count].set` would silently clamp to the last slot and
+        overwrite it forever while the factor graph keeps minting indices
+        beyond it. Fail loudly instead (the reference has the same fixed
+        512-slot buffer, frame.py:243-244) and point at the `kf_capacity`
+        config key. Returns the new keyframe's slot index."""
+        if self.n_kf >= self.kf_capacity:
+            raise RuntimeError(
+                f"keyframe memory full ({self.n_kf}/{self.kf_capacity}): "
+                "raise the `kf_capacity` config key (memory scales linearly: "
+                "each slot holds a pointmap + confidences + encoder features)"
+            )
+        idx = self.n_kf
+        self.mem = kf_append(self.mem, frame)
+        self.n_kf = idx + 1
+        self._kf_cache = None
+        return idx
+
     # ------------------------------------------------------------------
     # Relocalization (main.py:29-78)
     # ------------------------------------------------------------------
@@ -796,11 +830,8 @@ class SLAMSystem:
         retrieved = self._retrieve(frame, add_after_query=False)
         if not retrieved:
             return False
-        kf_idx = int(self.mem.count)
         frame = dataclasses.replace(frame, T_WC=self.mem.T_WC[retrieved[0]])
-        self.mem = kf_append(self.mem, frame)
-        self.n_kf = kf_idx + 1
-        self._kf_cache = None
+        kf_idx = self._append_keyframe(frame)
         self._set_kf_uimg(kf_idx, self.cur_uimg)
         with self._graph_lock:
             ok = self.add_factors(
@@ -877,10 +908,8 @@ class SLAMSystem:
 
         if self.mode == Mode.INIT:
             frame = self._mono_init(frame)
-            self.mem = kf_append(self.mem, frame)
-            self.n_kf = int(self.mem.count)
-            self._kf_cache = None
-            self._set_kf_uimg(self.n_kf - 1, uimg)
+            new_idx = self._append_keyframe(frame)
+            self._set_kf_uimg(new_idx, uimg)
             self._retrieve(frame, add_after_query=True)
             self.mode = Mode.TRACKING
             self._record_pose(frame_id, frame.T_WC)
@@ -962,6 +991,12 @@ class SLAMSystem:
             )
             if out is None:
                 # get_dynamic_mask guarantees overlap_cb ran exactly once
+                if "out_a" not in box:
+                    raise RuntimeError(
+                        "flow-error program broke the overlap_cb contract: "
+                        "get_dynamic_mask returned without invoking the "
+                        "callback (see dynamic/mask.py set_flow_error_program)"
+                    )
                 out_a = box["out_a"]
                 out = model_api.PairOutput(
                     X1=out_m.X1, C1=out_m.C1, D1=out_a.D1, Q1=out_a.Q1,
@@ -1167,10 +1202,7 @@ class SLAMSystem:
         new_kf = sv[10] > 0.5 if p["force_kf"] is None else p["force_kf"]
         if new_kf:
             self.idx_f2k = None
-            new_idx = self.n_kf
-            self.mem = kf_append(self.mem, frame)
-            self.n_kf += 1
-            self._kf_cache = None
+            new_idx = self._append_keyframe(frame)
             self._set_kf_uimg(new_idx, p["uimg"], dyn_mask=p["dyn_mask"])
             self.backend_step(new_idx, frame)
             self.last_T_WC = np.asarray(self.mem.T_WC[new_idx])

@@ -103,11 +103,13 @@ def compute_flow(img_i: np.ndarray, img_j: np.ndarray) -> np.ndarray:
     return np.asarray(dis.calc(g_i, g_j, None), np.float32)
 
 
-_flow_error_program: Optional[Callable] = None
-_flow_error_program_takes_cb: bool = False
+# (fn, takes_overlap_cb) as ONE tuple so a reader racing a program swap
+# always sees a consistent pair (never passes overlap_cb= to a program
+# that does not accept it).
+_flow_error_program: Tuple[Optional[Callable], bool] = (None, False)
 
 
-def set_flow_error_program(fn: Optional[Callable]):
+def set_flow_error_program(fn: Optional[Callable], takes_overlap_cb=None):
     """Install a FUSED device program for the flow-error map with signature
     fn(img_i_u8, img_j_u8, T_WCi, T_WCj, depth_i, K) -> err_norm (h, w) np.
 
@@ -117,23 +119,29 @@ def set_flow_error_program(fn: Optional[Callable]):
     and returns only the error map pays one dispatch and moves one (h, w)
     array. raft.make_fused_flow_error_program builds the RAFT-backed one.
 
-    Programs may additionally accept an `overlap_cb` keyword (detected via
-    signature inspection): a zero-arg callable they must invoke AFTER
-    dispatching the flow program but BEFORE blocking on its result, so the
-    caller can enqueue independent device work (the dual pipeline's MASt3R
-    decode) that executes while the host consumes the error map.
+    Programs may additionally accept an `overlap_cb` keyword: a zero-arg
+    callable they must invoke AFTER dispatching the flow program but BEFORE
+    blocking on its result, so the caller can enqueue independent device work
+    (the dual pipeline's MASt3R decode) that executes while the host consumes
+    the error map. Support is auto-detected from the signature (an explicit
+    `overlap_cb` parameter OR a **kwargs catch-all counts — wrappers that
+    forward kwargs keep the overlap); pass `takes_overlap_cb` explicitly to
+    override detection for callables whose signature cannot be inspected.
     """
-    global _flow_error_program, _flow_error_program_takes_cb
-    _flow_error_program = fn
-    takes_cb = False
-    if fn is not None:
+    global _flow_error_program
+    takes_cb = bool(takes_overlap_cb)
+    if fn is not None and takes_overlap_cb is None:
         import inspect
 
         try:
-            takes_cb = "overlap_cb" in inspect.signature(fn).parameters
+            params = inspect.signature(fn).parameters
+            takes_cb = "overlap_cb" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in params.values()
+            )
         except (TypeError, ValueError):
             takes_cb = False
-    _flow_error_program_takes_cb = takes_cb
+    _flow_error_program = (fn, takes_cb)
 
 
 # ---------------------------------------------------------------------------
@@ -210,15 +218,16 @@ def get_dynamic_mask(
         if overlap_cb is not None:
             overlap_cb()
         return np.zeros((h, w), bool)
-    if _flow_error_program is not None:
+    program, program_takes_cb = _flow_error_program
+    if program is not None:
         kw = {}
         if overlap_cb is not None:
-            if _flow_error_program_takes_cb:
+            if program_takes_cb:
                 kw["overlap_cb"] = overlap_cb
             else:
                 overlap_cb()
         err_norm = np.asarray(
-            _flow_error_program(
+            program(
                 img_i_u8 if img_i_flow is None else img_i_flow,
                 img_j_u8, T_WCi, T_WCj, depth_i, K, **kw,
             )

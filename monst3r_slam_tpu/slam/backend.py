@@ -611,7 +611,6 @@ def gauss_newton_sharded(
     """
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as PS
-    from jax.experimental.shard_map import shard_map
 
     calib = (K, img_size[0], img_size[1]) if use_calib else None
     n_dev = mesh.shape[axis]
@@ -622,12 +621,12 @@ def gauss_newton_sharded(
     rep = PS()
 
     @partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(rep, rep, rep, edge_specs, edge_specs, edge_specs,
                   edge_specs, edge_specs, edge_specs),
         out_specs=(rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     def loop_sharded(Twc_r, Xs_r, Cs_r, ii_s, jj_s, idx_s, vm_s, Q_s, ev_s):
         # Local-edge gathers run ONCE per solve (pose-independent), then the

