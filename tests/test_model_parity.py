@@ -144,11 +144,10 @@ def test_config_from_arch_string():
     assert cfg.hooks == (0, 6, 9, 12)
 
 
-def test_full_vitl_dims_parity():
-    """VERDICT item 5: converter parity at PRODUCTION dims (ViT-L encoder
-    1024/24/16, decoder 768/12/12, catmlp+dpt heads) — the exact architecture
-    of the MASt3R_ViTLarge_BaseDecoder_512 checkpoint — on a small image.
-    Guards the weight-name mapping and stacking at real shapes."""
+@pytest.fixture(scope="module")
+def vitl_oracle():
+    """Torch AsymmetricMASt3R at PRODUCTION dims (ViT-L encoder 1024/24/16,
+    decoder 768/12/12, catmlp+dpt heads) + the converted JAX params."""
     from mast3r.model import AsymmetricMASt3R
 
     cfg = ModelConfig()  # production ViT-L defaults
@@ -173,6 +172,14 @@ def test_full_vitl_dims_parity():
     ).eval()
     sd = {k: v.numpy() for k, v in model.state_dict().items()}
     params = params_from_state_dict(sd, cfg)
+    return model, params, cfg
+
+
+def test_full_vitl_dims_parity(vitl_oracle):
+    """VERDICT item 5: converter parity at PRODUCTION dims — the exact
+    architecture of the MASt3R_ViTLarge_BaseDecoder_512 checkpoint — on a
+    small image. Guards the weight-name mapping and stacking at real shapes."""
+    model, params, cfg = vitl_oracle
 
     rng = np.random.default_rng(1)
     img1 = rng.standard_normal((1, 3, H, W), dtype=np.float32) * 0.5
@@ -194,6 +201,100 @@ def test_full_vitl_dims_parity():
     np.testing.assert_allclose(np.asarray(out.D1), r1_t["desc"].numpy(), atol=5e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(out.Q1), r1_t["desc_conf"].numpy(), atol=5e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(out.X2), r2_t["pts3d"].numpy(), atol=5e-3, rtol=1e-2)
+
+
+def test_bf16_drift_bound_vitl_dims(vitl_oracle):
+    """VERDICT r3 item 3b: bound the bf16-weight drift on X/C/D/Q at ViT-L
+    depth (24x1024 encoder blocks, 2x12x768 decoder blocks). The production
+    inference path casts matmul weights to bf16 (`cast_params_for_inference`);
+    this asserts the accumulated rounding through the full depth stays within
+    tolerances that keep matching/tracking behavior unchanged (descriptor
+    drift ~1e-2 against a refine window of +-15px; ray direction drift ~1e-2
+    vs sigma_ray=3e-3 whitening of residuals that are themselves ~1e-1)."""
+    _, params, cfg = vitl_oracle
+    from monst3r_slam_tpu.models.convert import cast_params_for_inference
+
+    rng = np.random.default_rng(7)
+    img1 = jnp.asarray(rng.standard_normal((1, H, W, 3)).astype(np.float32) * 0.5)
+    img2 = jnp.asarray(rng.standard_normal((1, H, W, 3)).astype(np.float32) * 0.5)
+
+    feat1, pos1 = jmodel.encode(params, cfg, img1, dtype=jnp.float32)
+    feat2, pos2 = jmodel.encode(params, cfg, img2, dtype=jnp.float32)
+    ref = jmodel.decode(params, cfg, feat1, pos1, feat2, pos2, (H, W),
+                        dtype=jnp.float32)
+
+    bf = cast_params_for_inference(params)
+    feat1b, pos1b = jmodel.encode(bf, cfg, img1)
+    feat2b, pos2b = jmodel.encode(bf, cfg, img2)
+    out = jmodel.decode(bf, cfg, feat1b, pos1b, feat2b, pos2b, (H, W))
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return float(
+            np.median(np.abs(a - b)) / max(np.median(np.abs(b)), 1e-12)
+        )
+
+    drift = {
+        "X": rel(out.X1, ref.X1),
+        "C": rel(out.C1, ref.C1),
+        "D": rel(out.D1, ref.D1),
+        "Q": rel(out.Q1, ref.Q1),
+    }
+    # Bounds: ~2x the measured drift at these dims (see NOTES_r4); a
+    # regression past them signals a numerics bug (e.g. a layernorm or
+    # softmax accidentally computed in bf16), not ordinary rounding.
+    assert drift["X"] < 0.08, drift
+    assert drift["C"] < 0.08, drift
+    assert drift["D"] < 0.15, drift
+    assert drift["Q"] < 0.08, drift
+    # Descriptors drive matching via dot-product argmax: directions must
+    # agree much tighter than elementwise values.
+    d_ref = np.asarray(ref.D1, np.float64).reshape(-1, cfg.desc_dim)
+    d_bf = np.asarray(out.D1, np.float64).reshape(-1, cfg.desc_dim)
+    cos = (d_ref * d_bf).sum(-1) / (
+        np.linalg.norm(d_ref, axis=-1) * np.linalg.norm(d_bf, axis=-1) + 1e-12
+    )
+    assert float(np.median(cos)) > 0.995, float(np.median(cos))
+
+
+def test_load_checkpoint_real_pickle_format(tmp_path, oracle):
+    """VERDICT r3 item 3c: the converter must ingest the reference's REAL
+    on-disk checkpoint layout end-to-end — torch.save of
+    {'args': Namespace(model=<ctor string with ManyAR_PatchEmbed and NO
+    landscape_only kwarg>), 'model': state_dict} (mast3r/model.py:21-37
+    rewrites that string at load; we parse it instead)."""
+    import argparse
+
+    model, params_direct = oracle
+    arch = (
+        "AsymmetricMASt3R(pos_embed='RoPE100', patch_embed_cls='ManyAR_PatchEmbed', "
+        "img_size=(512, 512), head_type='catmlp+dpt', output_mode='pts3d+desc24', "
+        "depth_mode=('exp', -inf, inf), conf_mode=('exp', 1, inf), "
+        f"enc_embed_dim={CFG.enc_dim}, enc_depth={CFG.enc_depth}, "
+        f"enc_num_heads={CFG.enc_heads}, dec_embed_dim={CFG.dec_dim}, "
+        f"dec_depth={CFG.dec_depth}, dec_num_heads={CFG.dec_heads}, "
+        "two_confs=True, desc_conf_mode=('exp', 0, inf))"
+    )
+    path = tmp_path / "fake_mast3r.pth"
+    torch.save(
+        {"args": argparse.Namespace(model=arch), "model": model.state_dict()},
+        path,
+    )
+    from monst3r_slam_tpu.models.convert import load_checkpoint
+
+    params, cfg = load_checkpoint(str(path))
+    assert cfg.enc_dim == CFG.enc_dim and cfg.enc_depth == CFG.enc_depth
+    assert cfg.dec_dim == CFG.dec_dim and cfg.desc_dim == 24 and cfg.two_confs
+    assert cfg.desc_conf_mode == ("exp", 0.0, INF)
+    # loaded params are numerically identical to the direct-state-dict path
+    import jax
+
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(params_direct),
+    ):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_dust3r_variant_parity():
