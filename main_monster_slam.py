@@ -137,23 +137,58 @@ def main():
 
     # SAM2 refinement (reference monst3r_utils.py:640-703): real weights via
     # the converter when present; otherwise the native hysteresis+GrabCut
-    # refiner stays the default behind the same config gate.
+    # refiner stays the default behind the same config gate. With
+    # `sam2_video_predictor: true` in the config, the full video-predictor
+    # path (memory encoder + memory attention + object pointers,
+    # dynamic/sam2_video.py) replaces the single-image decode — the exact
+    # mechanism the reference drives via build_sam2_video_predictor.
     from monst3r_slam_tpu.dynamic import sam2 as sam2_mod
+
+    use_video = bool(config.get("sam2_video_predictor", False))
+
+    def _install_sam2(sam2_params, sam2_cfg, vparams=None, origin=""):
+        if use_video:
+            from monst3r_slam_tpu.dynamic import sam2_video as sam2v
+
+            vcfg = (
+                sam2v.VIDEO_TEST
+                if sam2_cfg is sam2_mod.SAM2_TEST
+                else sam2v.VIDEO_BASE_PLUS
+            )
+            if vparams is None:
+                vparams = sam2v.init_video_params(
+                    jax.random.PRNGKey(args.seed + 4), sam2_cfg, vcfg
+                )
+            dyn_mask.set_mask_refiner(
+                sam2v.Sam2VideoRefiner(
+                    sam2_params, vparams, sam2_cfg, vcfg,
+                    carry_memory=bool(config.get("sam2_carry_memory", False)),
+                )
+            )
+            print(f"SAM2 VIDEO-predictor refiner installed {origin}")
+        else:
+            dyn_mask.set_mask_refiner(sam2_mod.Sam2Refiner(sam2_params, sam2_cfg))
+            print(f"SAM2 refiner installed {origin}")
 
     if args.sam2_checkpoint == "random":
         sam2_params = sam2_mod.init_sam2_params(
             jax.random.PRNGKey(args.seed + 3), sam2_mod.SAM2_TEST
         )
-        dyn_mask.set_mask_refiner(
-            sam2_mod.Sam2Refiner(sam2_params, sam2_mod.SAM2_TEST)
-        )
-        print("SAM2 refiner installed (random init — testing only)")
+        _install_sam2(sam2_params, sam2_mod.SAM2_TEST,
+                      origin="(random init — testing only)")
     elif pathlib.Path(args.sam2_checkpoint).is_file():
-        sam2_params = sam2_mod.sam2_params_from_torch(args.sam2_checkpoint)
-        dyn_mask.set_mask_refiner(
-            sam2_mod.Sam2Refiner(sam2_params, sam2_mod.SAM2_BASE_PLUS)
-        )
-        print(f"SAM2 refiner installed from {args.sam2_checkpoint}")
+        if use_video:
+            from monst3r_slam_tpu.dynamic import sam2_video as sam2v
+
+            sam2_params, vparams = sam2v.video_params_from_torch(
+                args.sam2_checkpoint
+            )
+            _install_sam2(sam2_params, sam2_mod.SAM2_BASE_PLUS, vparams,
+                          origin=f"from {args.sam2_checkpoint}")
+        else:
+            sam2_params = sam2_mod.sam2_params_from_torch(args.sam2_checkpoint)
+            _install_sam2(sam2_params, sam2_mod.SAM2_BASE_PLUS,
+                          origin=f"from {args.sam2_checkpoint}")
     else:
         print(
             f"SAM2 checkpoint {args.sam2_checkpoint} not found — "

@@ -389,6 +389,10 @@ class SLAMSystem:
         )
         self._pending = None  # un-resolved tracking result of the last frame
         self.last_summary = None  # last resolved decision vector (introspection)
+        # Per-stage host wall times (ms) of the last frames, keyed by stage
+        # name. Always on (two perf_counter calls + a list append per stage);
+        # bench.py and profile scripts read it to attribute frame cost.
+        self.prof: dict = {}
         self.backend_stall_s = 0.0  # main-thread time blocked on backend work
         self._last_viz_push = 0.0
         # Viewer control channel (reference WindowMsg, visualization.py:33-39)
@@ -894,16 +898,24 @@ class SLAMSystem:
         self._consume_viewer_control()
         if self.terminate_requested:
             return
+        t0 = time.perf_counter()
         self._apply_backend_results()  # async pose write-back between frames
         self.timestamps.append(timestamp)
         self.cur_uimg = uimg
+        t1 = time.perf_counter()
         # Encode THIS frame before resolving the previous frame's tracking
         # result: the encoder depends only on pixels, so its ~10 ms of device
         # time executes while the host blocks on frame t-1's result below
         # (cross-frame overlap, VERDICT r2 weak #2). The pose attached by
         # make_frame may be one frame stale; it is refreshed after resolve.
         frame = self.make_frame(frame_id, img_np)
+        t2 = time.perf_counter()
         self._resolve_pending()  # frame t-1: RELOC/new-keyframe decisions
+        t3 = time.perf_counter()
+        p = self.prof
+        p.setdefault("apply_backend", []).append((t1 - t0) * 1e3)
+        p.setdefault("encode_dispatch", []).append((t2 - t1) * 1e3)
+        p.setdefault("resolve_prev", []).append((t3 - t2) * 1e3)
         frame = dataclasses.replace(frame, T_WC=self._last_T_WC_dev)
 
         if self.mode == Mode.INIT:
@@ -925,6 +937,7 @@ class SLAMSystem:
         # TRACKING (keyframe target via the cached per-keyframe view: the
         # 10 eager `kf_get` row slices are ~10 relay dispatches per frame,
         # but the slice only changes on keyframe/backend events)
+        t4 = time.perf_counter()
         kf_idx = self.n_kf - 1
         kf_feat, kf_pos, kf_T_WC, kf_idx_dev = self._kf_view(kf_idx)
 
@@ -1061,6 +1074,10 @@ class SLAMSystem:
                 )
                 out = out._replace(C2=C2m, D2=D2m, Q2=Q2m)
 
+        p.setdefault("decode_mask_dispatch", []).append(
+            (time.perf_counter() - t4) * 1e3
+        )
+        t5 = time.perf_counter()
         if self.match_mode != "lm":
             # Matching fused into the tracking program: one dispatch for
             # match -> fusion -> GN -> keyframe update.
@@ -1135,8 +1152,15 @@ class SLAMSystem:
             frame_id=frame_id, frame=frame, res=res, summary=summary,
             uimg=uimg, dyn_mask=cur_dyn_mask, dbg=dbg, force_kf=force_kf,
         )
+        p.setdefault("track_dispatch", []).append(
+            (time.perf_counter() - t5) * 1e3
+        )
         if not self.defer_sync:
+            t6 = time.perf_counter()
             self._resolve_pending()
+            p.setdefault("resolve_sync", []).append(
+                (time.perf_counter() - t6) * 1e3
+            )
 
     def _resolve_pending(self):
         """Host-side decisions for the last dispatched tracking step (the
@@ -1185,7 +1209,11 @@ class SLAMSystem:
 
         # ONE device->host transfer for all per-frame decisions:
         # [T_WCf(0:8), low_match(8), solver_failed(9), new_kf(10)]
+        ts = time.perf_counter()
         sv = np.asarray(p["summary"])
+        self.prof.setdefault("summary_sync", []).append(
+            (time.perf_counter() - ts) * 1e3
+        )
         self.last_summary = sv  # introspection: tests/bench read the decisions
         if sv[8] > 0.5 or sv[9] > 0.5:  # low_match | solver_failed
             self.mode = Mode.RELOC
@@ -1201,12 +1229,16 @@ class SLAMSystem:
 
         new_kf = sv[10] > 0.5 if p["force_kf"] is None else p["force_kf"]
         if new_kf:
+            tk = time.perf_counter()
             self.idx_f2k = None
             new_idx = self._append_keyframe(frame)
             self._set_kf_uimg(new_idx, p["uimg"], dyn_mask=p["dyn_mask"])
             self.backend_step(new_idx, frame)
             self.last_T_WC = np.asarray(self.mem.T_WC[new_idx])
             self._last_T_WC_dev = self.mem.T_WC[new_idx]
+            self.prof.setdefault("kf_event", []).append(
+                (time.perf_counter() - tk) * 1e3
+            )
 
         self._record_pose(frame_id, self.last_T_WC)
 

@@ -378,7 +378,11 @@ def mask_decoder(p, cfg: SAM2Config, img_emb, img_pe, sparse_prompts, high_res_f
     """img_emb (B, H16, W16, d); sparse_prompts (B, Np, d);
     high_res_feats: [(B, H4, W4, d/8), (B, H8, W8, d/4)].
 
-    Returns (masks (B, num_mask_tokens, H4, W4) logits, iou (B, num_mask_tokens)).
+    Returns (masks (B, num_mask_tokens, H4, W4) logits, iou (B, num_mask_tokens),
+    tokens_f (B, n_out + n_prompt, d) — the post-transformer token states;
+    tokens_f[:, 0] is the object-score token and tokens_f[:, 2+m] the m-th
+    mask token, consumed by the video predictor's object pointers
+    (sam2_video.py).
     """
     B, H, W, C = img_emb.shape
     # token order matches SAM2's MaskDecoder.predict_masks:
@@ -437,7 +441,7 @@ def mask_decoder(p, cfg: SAM2Config, img_emb, img_pe, sparse_prompts, high_res_f
         iou = _linear(lp, iou)
         if li < len(p["iou_head"]) - 1:
             iou = jax.nn.relu(iou)
-    return masks, iou
+    return masks, iou, tokens_f
 
 
 # ---------------------------------------------------------------------------
@@ -483,7 +487,7 @@ def sam2_decode(params, cfg: SAM2Config, img_emb, hr0, hr1, points01, labels):
     # with no mask prompt, the prompt encoder's dense output is the learned
     # no_mask_embed broadcast over the grid; predict_masks adds it to src
     src = img_emb + params["prompt"]["no_mask_embed"]
-    masks, iou = mask_decoder(
+    masks, iou, _ = mask_decoder(
         params["dec"], cfg, bcast(src), pe, sparse, [bcast(hr0), bcast(hr1)]
     )
     M = masks.shape[1]
@@ -524,7 +528,7 @@ def sam2_decode_select(params, cfg: SAM2Config, img_emb, hr0, hr1,
     pe = dense_pe(params["prompt"], img_emb.shape[1:3])
     sparse = encode_points(params["prompt"], cfg, points01, labels)
     src = img_emb + params["prompt"]["no_mask_embed"]
-    masks, iou = mask_decoder(
+    masks, iou, _ = mask_decoder(
         params["dec"], cfg, bcast(src), pe, sparse, [bcast(hr0), bcast(hr1)]
     )
     multi, miou = masks[:, 1:], iou[:, 1:]

@@ -1,0 +1,704 @@
+"""SAM2 video predictor: memory encoder + memory attention + object pointers.
+
+Ports the one reference mechanism round 3 still substituted: the official
+`build_sam2_video_predictor` / `propagate_in_video` temporal path
+(`monst3r_utils.py:640-703` drives it; the sam2 submodule is empty in the
+snapshot, so this is implemented from the published SAM2 architecture,
+Ravi et al. 2024, matching the `sam2_hiera_b+.yaml` configuration):
+
+  * **Memory encoder** (official `memory_encoder.py`): 1x1 `pix_feat_proj` on
+    the current 1/16 backbone feature, a strided-conv `MaskDownSampler`
+    (1 -> 4 -> 16 -> 64 -> d channels, 16x spatial) on the sigmoid-ed
+    predicted mask, additive fusion, two ConvNeXt `CXBlock`s, and a 1x1
+    `out_proj` to the memory dim (64). Sine positional encoding of the
+    memory grid.
+  * **Memory attention** (official `memory_attention.py`): 4 pre-norm layers
+    of RoPE self-attention over the current frame's 1/16 tokens and RoPE
+    cross-attention into the memory bank (spatial memories of up to
+    `num_maskmem` past frames, each tagged with a learned temporal position
+    embedding `maskmem_tpos_enc`, plus up to `max_obj_ptrs` object-pointer
+    tokens that are excluded from RoPE), ReLU MLP, final LayerNorm. The
+    current tokens enter with `0.1 * sine_pe` added (`pos_enc_at_input`).
+  * **Object pointers** (official `sam2_base.py:_forward_sam_heads`): a
+    3-layer MLP on the selected mask token's post-transformer state; with
+    object-score prediction (`pred_obj_scores` + `fixed_no_obj_ptr` as in
+    hiera-b+), the pointer blends with a learned `no_obj_ptr` by the
+    is-object-appearing indicator.
+
+TPU-first design: the memory bank is a FIXED-CAPACITY pytree
+(`num_maskmem` spatial slots + `max_obj_ptrs` pointer slots with validity
+masks), so `propagate_in_video` dispatches the SAME compiled programs for
+every frame regardless of occupancy — attention masks invalid slots with a
+-inf logit bias instead of reshaping (XLA compile-once; the official
+implementation re-shapes the token axis per frame).
+
+The conditioning frame (the only frame the reference ever reads —
+`monst3r_utils.py:675-680` breaks after frame 0) bypasses memory attention
+and adds `no_mem_embed`, exactly like the official
+`directly_add_no_mem_embed` path, so on 1-frame videos this predictor is
+bit-identical to the image pipeline (tested).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monst3r_slam_tpu.dynamic import sam2 as S
+
+
+class VideoConfig(NamedTuple):
+    mem_dim: int = 64           # memory channel dim (b+: 64)
+    num_maskmem: int = 7        # 1 conditioning + 6 recent frames
+    max_obj_ptrs: int = 16      # max_obj_ptrs_in_encoder
+    mem_layers: int = 4
+    mem_heads: int = 1
+    mem_mlp: int = 2048
+    rope_theta: float = 10000.0
+    sigmoid_scale: float = 20.0  # sigmoid_scale_for_mem_enc
+    sigmoid_bias: float = -10.0  # sigmoid_bias_for_mem_enc
+
+
+VIDEO_BASE_PLUS = VideoConfig()
+# paired with sam2.SAM2_TEST (d_model=32): mem_dim 16, 2 layers
+VIDEO_TEST = VideoConfig(mem_dim=16, mem_layers=2, mem_mlp=64, max_obj_ptrs=4)
+
+
+# ---------------------------------------------------------------------------
+# Positional encodings
+# ---------------------------------------------------------------------------
+
+
+def sine_pe_2d(h: int, w: int, dim: int, temperature: float = 10000.0):
+    """Official `PositionEmbeddingSine` (normalize=True, scale=2*pi):
+    (h, w, dim) with dim/2 y-channels then dim/2 x-channels, interleaved
+    sin/cos within each half."""
+    npf = dim // 2
+    eps = 1e-6
+    scale = 2.0 * math.pi
+    y = jnp.cumsum(jnp.ones((h, w), jnp.float32), axis=0)
+    x = jnp.cumsum(jnp.ones((h, w), jnp.float32), axis=1)
+    y = y / (y[-1:, :] + eps) * scale
+    x = x / (x[:, -1:] + eps) * scale
+    dim_t = temperature ** (
+        2.0 * (jnp.arange(npf, dtype=jnp.float32) // 2) / npf
+    )
+    py = y[..., None] / dim_t
+    px = x[..., None] / dim_t
+    py = jnp.stack([jnp.sin(py[..., 0::2]), jnp.cos(py[..., 1::2])], axis=-1)
+    px = jnp.stack([jnp.sin(px[..., 0::2]), jnp.cos(px[..., 1::2])], axis=-1)
+    py = py.reshape(h, w, npf)
+    px = px.reshape(h, w, npf)
+    return jnp.concatenate([py, px], axis=-1)  # (h, w, dim)
+
+
+def axial_rope_freqs(h: int, w: int, head_dim: int, theta: float):
+    """Official `compute_axial_cis`: per-token complex rotations, half the
+    (complex) head dim driven by x, half by y. Returns (h*w, head_dim//2)
+    cos/sin pair arrays."""
+    quarter = head_dim // 4
+    freqs = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 4, dtype=jnp.float32)[:quarter] / head_dim)
+    )
+    t_x = jnp.tile(jnp.arange(w, dtype=jnp.float32), (h,))
+    t_y = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
+    ang_x = t_x[:, None] * freqs[None, :]  # (hw, quarter)
+    ang_y = t_y[:, None] * freqs[None, :]
+    ang = jnp.concatenate([ang_x, ang_y], axis=-1)  # (hw, head_dim//2)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x, cos, sin):
+    """x (..., N, head_dim) viewed as complex pairs on the last axis;
+    cos/sin (N, head_dim//2)."""
+    xr = x[..., 0::2]
+    xi = x[..., 1::2]
+    yr = xr * cos - xi * sin
+    yi = xr * sin + xi * cos
+    return jnp.stack([yr, yi], axis=-1).reshape(x.shape)
+
+
+# ---------------------------------------------------------------------------
+# Memory encoder
+# ---------------------------------------------------------------------------
+
+
+def memory_encoder_forward(p, feat_16, mask_hi):
+    """feat_16 (1, H16, W16, d_model) RAW backbone feature (pre-memory);
+    mask_hi (1, H, W, 1) predicted mask PROBABILITIES already scaled/biased
+    by the caller. Returns (mem (1, H16, W16, mem_dim), pos (H16, W16, mem_dim)).
+    """
+    x = S._conv2d(p["pix_feat_proj"], feat_16)
+    m = mask_hi
+    for conv, ln in p["downsampler"]:
+        m = S._conv2d(conv, m, stride=2)
+        m = S._layer_norm(ln, m)
+        m = jax.nn.gelu(m, approximate=False)
+    m = S._conv2d(p["down_out"], m)
+    x = x + m
+    for blk in p["fuser"]:
+        # CXBlock: depthwise 7x7, LN, pw 1->4x (linear), GELU, pw back, gamma
+        y = jax.lax.conv_general_dilated(
+            x, blk["dwconv"]["w"].astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=x.shape[-1],
+        ) + blk["dwconv"]["b"].astype(x.dtype)
+        y = S._layer_norm(blk["norm"], y)
+        y = S._linear(blk["pwconv2"], jax.nn.gelu(S._linear(blk["pwconv1"], y),
+                                                  approximate=False))
+        x = x + blk["gamma"] * y
+    mem = S._conv2d(p["out_proj"], x)
+    pos = sine_pe_2d(mem.shape[1], mem.shape[2], mem.shape[3])
+    return mem, pos
+
+
+# ---------------------------------------------------------------------------
+# Memory attention
+# ---------------------------------------------------------------------------
+
+
+def _rope_attn(p, q_in, k_in, v_in, heads, q_rope, k_rope, bias=None):
+    """RoPEAttention: project, rotate q and (part of) k, attend.
+    q_rope: (cos, sin) for ALL q tokens; k_rope: (cos, sin, n_rope) — rotate
+    only the first n_rope k tokens. bias (Nq, Nk) additive logits or None."""
+    q = S._linear(p["q"], q_in)
+    k = S._linear(p["k"], k_in)
+    v = S._linear(p["v"], v_in)
+    B, Nq, C = q.shape
+    Nk = k.shape[1]
+    hd = C // heads
+    q = q.reshape(B, Nq, heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, Nk, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, Nk, heads, hd).transpose(0, 2, 1, 3)
+    q = apply_rope(q, *q_rope)
+    cos_k, sin_k, n_rope = k_rope
+    if n_rope >= Nk:
+        k = apply_rope(k, cos_k, sin_k)
+    else:
+        k = jnp.concatenate(
+            [apply_rope(k[:, :, :n_rope], cos_k, sin_k), k[:, :, n_rope:]],
+            axis=2,
+        )
+    logits = (q @ k.transpose(0, 1, 3, 2)) / math.sqrt(hd)
+    if bias is not None:
+        logits = logits + bias
+    a = jax.nn.softmax(logits, axis=-1)
+    out = (a @ v).transpose(0, 2, 1, 3).reshape(B, Nq, C)
+    return S._linear(p["out"], out)
+
+
+def memory_attention_forward(
+    p, vcfg: VideoConfig, tokens, tok_pe, mem_tokens, mem_pos, mem_bias,
+    hw: Tuple[int, int], n_spatial: int,
+):
+    """tokens (1, N, d) current-frame 1/16 features; tok_pe (N, d) sine PE;
+    mem_tokens/mem_pos (1, M, mem_dim) fixed-capacity memory bank;
+    mem_bias (M,) 0 for live slots / -inf for empty; n_spatial = count of
+    spatial memory tokens (RoPE applies to them; pointer tokens after are
+    excluded — official `num_k_exclude_rope`)."""
+    h, w = hw
+    heads = vcfg.mem_heads
+    d = tokens.shape[-1]
+    hd = d // heads
+    cos_q, sin_q = axial_rope_freqs(h, w, hd, vcfg.rope_theta)
+    # k rope repeats per memory frame (official rope_k_repeat): the spatial
+    # block is num_maskmem frames x (h*w) tokens in frame-major order
+    n_rep = max(n_spatial // (h * w), 1)
+    cos_k = jnp.tile(cos_q, (n_rep, 1))
+    sin_k = jnp.tile(sin_q, (n_rep, 1))
+    bias = mem_bias[None, None, None, :]  # (1, 1, 1, M) broadcast over q
+
+    x = tokens + 0.1 * tok_pe[None]  # pos_enc_at_input
+    for layer in p["layers"]:
+        # self-attention (q = k = normed tokens, no pe at attn)
+        xn = S._layer_norm(layer["norm1"], x)
+        x = x + _rope_attn(
+            layer["self_attn"], xn, xn, xn, heads,
+            (cos_q, sin_q), (cos_q, sin_q, xn.shape[1]),
+        )
+        # cross-attention into memory (+pe on keys, not on queries)
+        xn = S._layer_norm(layer["norm2"], x)
+        x = x + _rope_attn(
+            layer["cross_attn"], xn, mem_tokens + mem_pos, mem_tokens, heads,
+            (cos_q, sin_q), (cos_k, sin_k, n_spatial), bias=bias,
+        )
+        # MLP (ReLU, pre-norm)
+        xn = S._layer_norm(layer["norm3"], x)
+        x = x + S._linear(
+            layer["linear2"], jax.nn.relu(S._linear(layer["linear1"], xn))
+        )
+    return S._layer_norm(p["norm"], x)
+
+
+# ---------------------------------------------------------------------------
+# Object pointers
+# ---------------------------------------------------------------------------
+
+
+def obj_ptr_from_tokens(p, tokens_f, best_mask_idx, obj_score_logit):
+    """Official `_forward_sam_heads` tail: pointer MLP on the selected mask
+    token's hidden state, blended with `no_obj_ptr` by the hard
+    is-object-appearing indicator (fixed_no_obj_ptr, soft_no_obj_ptr=False).
+    tokens_f (1, n_tok, d); best_mask_idx selects among mask tokens."""
+    tok = jnp.take_along_axis(
+        tokens_f[:, 2:], best_mask_idx[None, None, None].astype(jnp.int32),
+        axis=1,
+    )[:, 0]  # (1, d)
+    ptr = tok
+    for li, lp in enumerate(p["obj_ptr_proj"]):
+        ptr = S._linear(lp, ptr)
+        if li < len(p["obj_ptr_proj"]) - 1:
+            ptr = jax.nn.relu(ptr)
+    lam = (obj_score_logit > 0).astype(ptr.dtype)  # hard indicator
+    return lam * ptr + (1.0 - lam) * p["no_obj_ptr"][None]
+
+
+def obj_score_from_tokens(p, tokens_f):
+    s = tokens_f[:, 0]  # object-score token
+    for li, lp in enumerate(p["obj_score_head"]):
+        s = S._linear(lp, s)
+        if li < len(p["obj_score_head"]) - 1:
+            s = jax.nn.relu(s)
+    return s[:, 0]  # (1,)
+
+
+# ---------------------------------------------------------------------------
+# Jitted per-frame programs (fixed shapes regardless of bank occupancy)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "vcfg"))
+def _condition_and_decode(
+    params, vparams, cfg: S.SAM2Config, vcfg: VideoConfig,
+    fpn2_raw, hr0, hr1,
+    mem_feat,   # (num_maskmem, hw16, mem_dim)
+    mem_pos,    # (num_maskmem, hw16, mem_dim)
+    mem_valid,  # (num_maskmem,) bool
+    obj_ptrs,   # (max_obj_ptrs, d_model)
+    ptr_valid,  # (max_obj_ptrs,) bool
+    points01, labels, is_cond: jax.Array, multimask: jax.Array,
+):
+    """One fused program: memory-condition the current features, decode the
+    mask, select the output token, compute the object score + pointer, and
+    produce the memory-encoder input mask. `is_cond` switches (branch-free)
+    between the no-mem path (cond frame) and memory attention."""
+    B, H16, W16, d = fpn2_raw.shape
+    hw16 = H16 * W16
+    md = vcfg.mem_dim
+
+    tok_pe = sine_pe_2d(H16, W16, d).reshape(hw16, d)
+    tokens = fpn2_raw.reshape(1, hw16, d)
+
+    # memory bank -> fixed-capacity token axis
+    spatial = mem_feat.reshape(1, -1, md)
+    spatial_pos = mem_pos + vparams["maskmem_tpos_enc"][:, None, :]
+    spatial_pos = spatial_pos.reshape(1, -1, md)
+    n_spatial = spatial.shape[1]
+    # pointer tokens: each d_model pointer splits into d_model/md tokens
+    n_split = d // md
+    ptr_tok = obj_ptrs.reshape(1, -1, md)
+    ptr_pos = jnp.zeros_like(ptr_tok)  # add_tpos_enc_to_obj_ptrs=False
+    mem_tokens = jnp.concatenate([spatial, ptr_tok], axis=1)
+    mem_pe = jnp.concatenate([spatial_pos, ptr_pos], axis=1)
+    neg = jnp.asarray(-1e9, jnp.float32)
+    bias = jnp.concatenate([
+        jnp.where(jnp.repeat(mem_valid, hw16), 0.0, neg),
+        jnp.where(jnp.repeat(ptr_valid, n_split), 0.0, neg),
+    ])
+    # a fully-empty bank would softmax over all -inf: keep one live row,
+    # the cond branch below discards the result anyway
+    any_mem = mem_valid.any() | ptr_valid.any()
+    bias = jnp.where(any_mem, bias, 0.0)
+
+    conditioned = memory_attention_forward(
+        vparams["mem_attn"], vcfg, tokens, tok_pe, mem_tokens, mem_pe, bias,
+        (H16, W16), n_spatial,
+    ).reshape(1, H16, W16, d)
+    no_mem = fpn2_raw + params["no_mem_embed"]
+    img_emb = jnp.where(is_cond, no_mem, conditioned)
+
+    # SAM decode (sam2.sam2_decode internals, plus token outputs)
+    pe = S.dense_pe(params["prompt"], (H16, W16))
+    sparse = S.encode_points(params["prompt"], cfg, points01, labels)
+    src = img_emb + params["prompt"]["no_mask_embed"]
+    masks, iou, tokens_f = S.mask_decoder(
+        params["dec"], cfg, src, pe, sparse, [hr0, hr1]
+    )
+    # output selection: multimask (tokens 1..3, best IoU) on prompted cond
+    # frames, single-mask token 0 otherwise (official multimask_output rule)
+    best_multi = 1 + jnp.argmax(iou[0, 1:], axis=-1)
+    best_idx = jnp.where(multimask, best_multi, 0).astype(jnp.int32)
+    mask_lo = jnp.take_along_axis(
+        masks, best_idx[None, None, None, None], axis=1
+    )[:, 0]  # (1, H4, W4) logits
+    obj_score = obj_score_from_tokens(vparams, tokens_f)
+    ptr = obj_ptr_from_tokens(vparams, tokens_f, best_idx, obj_score[0])
+
+    # memory-encoder input: full-res sigmoid mask, scaled + biased
+    Simg = cfg.img_size
+    mask_hi = jax.image.resize(mask_lo, (1, Simg, Simg), method="bilinear")
+    mask_mem = jax.nn.sigmoid(mask_hi) * vcfg.sigmoid_scale + vcfg.sigmoid_bias
+    new_mem, new_mem_pos = memory_encoder_forward(
+        vparams["mem_enc"], fpn2_raw, mask_mem[..., None]
+    )
+    return (
+        mask_lo,                       # (1, H4, W4) logits
+        obj_score,                     # (1,)
+        ptr[0],                        # (d_model,)
+        new_mem.reshape(hw16, md),
+        new_mem_pos.reshape(hw16, md),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _encode_video_frame(params, cfg: S.SAM2Config, img):
+    """Backbone + neck + skip projections, RAW 1/16 feature (no
+    no_mem_embed — the video path conditions it explicitly)."""
+    mean = jnp.asarray([0.485, 0.456, 0.406])
+    std = jnp.asarray([0.229, 0.224, 0.225])
+    x = (img - mean) / std
+    feats = S.hiera_forward(params["trunk"], cfg, x)
+    fpn = S.neck_forward(params["neck"], cfg, feats)
+    hr0 = S._conv2d(params["dec"]["skip0"], fpn[0])
+    hr1 = S._conv2d(params["dec"]["skip1"], fpn[1])
+    return fpn[2], hr0, hr1
+
+
+# ---------------------------------------------------------------------------
+# Predictor (official video-predictor API surface used by the reference)
+# ---------------------------------------------------------------------------
+
+
+class Sam2VideoPredictor:
+    """Mirror of the official `SAM2VideoPredictor` surface the reference
+    drives (`monst3r_utils.py:670-680`): `init_state` / `add_new_points` /
+    `propagate_in_video`. Single-object (the reference only ever tracks
+    obj_id=1); images are (H, W, 3) float in [0, 1] or uint8."""
+
+    def __init__(self, params, vparams, cfg: S.SAM2Config = S.SAM2_BASE_PLUS,
+                 vcfg: VideoConfig = VIDEO_BASE_PLUS):
+        self.params = params
+        self.vparams = vparams
+        self.cfg = cfg
+        self.vcfg = vcfg
+
+    def init_state(self, images) -> dict:
+        imgs = []
+        Simg = self.cfg.img_size
+        for im in images:
+            a = np.asarray(im)
+            if a.dtype == np.uint8:
+                a = a.astype(np.float32) / 255.0
+            if a.shape[:2] != (Simg, Simg):
+                import cv2
+
+                a = cv2.resize(a, (Simg, Simg), interpolation=cv2.INTER_AREA)
+            imgs.append(jnp.asarray(a)[None])
+        hw16 = (Simg // 16) * (Simg // 16)
+        v = self.vcfg
+        return {
+            "images": imgs,
+            "prompts": {},  # frame_idx -> (points01, labels)
+            "obj_ids": [1],
+            # fixed-capacity memory bank
+            "mem_feat": jnp.zeros((v.num_maskmem, hw16, v.mem_dim)),
+            "mem_pos": jnp.zeros((v.num_maskmem, hw16, v.mem_dim)),
+            "mem_valid": np.zeros((v.num_maskmem,), bool),
+            "mem_frame": np.full((v.num_maskmem,), -1),  # which frame each slot holds
+            "obj_ptrs": jnp.zeros((v.max_obj_ptrs, self.cfg.d_model)),
+            "ptr_valid": np.zeros((v.max_obj_ptrs,), bool),
+            "ptr_frame": np.full((v.max_obj_ptrs,), -1),
+        }
+
+    def add_new_points(self, state, frame_idx, obj_id, points, labels):
+        """points: (1, N, 2) in PIXELS of the init_state images' native
+        resolution (pre-resize), like the official API; labels (1, N)."""
+        pts = np.asarray(points, np.float32).reshape(1, -1, 2)
+        lbs = np.asarray(labels, np.int32).reshape(1, -1)
+        state["prompts"][int(frame_idx)] = (pts, lbs)
+
+    def _bank_views(self, state, t: int, cond_idx: int):
+        """Select memories for frame t: the conditioning slot always, then
+        the most recent previous frames (slot recency by stored frame id);
+        temporal-position layout matches official t_pos ordering because
+        slots are written round-robin in frame order."""
+        return (
+            state["mem_feat"], state["mem_pos"],
+            jnp.asarray(state["mem_valid"] & (state["mem_frame"] < t)
+                        | (state["mem_frame"] == cond_idx)),
+            state["obj_ptrs"],
+            jnp.asarray(state["ptr_valid"] & (state["ptr_frame"] < t)),
+        )
+
+    def propagate_in_video(self, state, start_frame_idx: int = 0):
+        """Generator yielding (frame_idx, obj_ids, mask_logits (1, H4, W4))
+        per frame, conditioning each on the accumulated memory bank."""
+        v = self.vcfg
+        Simg = self.cfg.img_size
+        if state["prompts"]:
+            cond_idx = min(state["prompts"].keys())
+        else:
+            cond_idx = start_frame_idx
+        for t in range(start_frame_idx, len(state["images"])):
+            img = state["images"][t]
+            fpn2, hr0, hr1 = _encode_video_frame(self.params, self.cfg, img)
+            if t in state["prompts"]:
+                pts, lbs = state["prompts"][t]
+                pts01 = pts / float(Simg)
+                multimask = True
+            else:
+                pts01 = np.zeros((1, 1, 2), np.float32)
+                lbs = -np.ones((1, 1), np.int32)
+                multimask = False
+            mem_feat, mem_pos, mem_valid, ptrs, ptr_valid = self._bank_views(
+                state, t, cond_idx
+            )
+            is_cond = t == cond_idx
+            mask_lo, obj_score, ptr, new_mem, new_mem_pos = (
+                _condition_and_decode(
+                    self.params, self.vparams, self.cfg, v,
+                    fpn2, hr0, hr1,
+                    mem_feat, mem_pos, mem_valid, ptrs, ptr_valid,
+                    jnp.asarray(pts01), jnp.asarray(lbs),
+                    jnp.asarray(is_cond), jnp.asarray(bool(multimask)),
+                )
+            )
+            # write the new memory: conditioning frame owns slot 0; others
+            # rotate through slots 1..num_maskmem-1 (most recent wins)
+            slot = 0 if is_cond else 1 + (t % max(v.num_maskmem - 1, 1))
+            state["mem_feat"] = state["mem_feat"].at[slot].set(new_mem)
+            state["mem_pos"] = state["mem_pos"].at[slot].set(new_mem_pos)
+            state["mem_valid"][slot] = True
+            state["mem_frame"][slot] = t
+            pslot = t % v.max_obj_ptrs
+            state["obj_ptrs"] = state["obj_ptrs"].at[pslot].set(ptr)
+            state["ptr_valid"][pslot] = True
+            state["ptr_frame"][pslot] = t
+            yield t, list(state["obj_ids"]), mask_lo
+
+
+# ---------------------------------------------------------------------------
+# Init (fabricated weights) + torch converter
+# ---------------------------------------------------------------------------
+
+
+def init_video_params(key, cfg: S.SAM2Config = S.SAM2_BASE_PLUS,
+                      vcfg: VideoConfig = VIDEO_BASE_PLUS):
+    ks = iter(jax.random.split(key, 64))
+    d = cfg.d_model
+    md = vcfg.mem_dim
+
+    # mask downsampler: 1 -> 4 -> 16 -> ... (stride 2, 4 layers to /16)
+    downsampler = []
+    ci = 1
+    for _ in range(4):
+        co = ci * 4
+        downsampler.append((S._cv_p(next(ks), 3, 3, ci, co), S._ln_p(co)))
+        ci = co
+
+    def cx_block():
+        return {
+            "dwconv": S._cv_p(next(ks), 7, 7, 1, d) | {"b": jnp.zeros((d,))},
+            "norm": S._ln_p(d),
+            "pwconv1": S._lin_p(next(ks), d, 4 * d),
+            "pwconv2": S._lin_p(next(ks), 4 * d, d),
+            "gamma": jnp.full((d,), 1e-6),
+        }
+
+    def mem_layer():
+        return {
+            "self_attn": S._attn_p(next(ks), d),
+            "norm1": S._ln_p(d),
+            "cross_attn": S._attn_p(next(ks), d, kv_c=md),
+            "norm2": S._ln_p(d),
+            "linear1": S._lin_p(next(ks), d, vcfg.mem_mlp),
+            "linear2": S._lin_p(next(ks), vcfg.mem_mlp, d),
+            "norm3": S._ln_p(d),
+        }
+
+    return {
+        "mem_enc": {
+            "pix_feat_proj": S._cv_p(next(ks), 1, 1, d, d),
+            "downsampler": downsampler,
+            "down_out": S._cv_p(next(ks), 1, 1, ci, d),
+            "fuser": [cx_block() for _ in range(2)],
+            "out_proj": S._cv_p(next(ks), 1, 1, d, md),
+        },
+        "mem_attn": {
+            "layers": [mem_layer() for _ in range(vcfg.mem_layers)],
+            "norm": S._ln_p(d),
+        },
+        "obj_ptr_proj": [S._lin_p(next(ks), d, d) for _ in range(3)],
+        "obj_score_head": [
+            S._lin_p(next(ks), d, d),
+            S._lin_p(next(ks), d, d),
+            S._lin_p(next(ks), d, 1),
+        ],
+        "no_obj_ptr": 0.02 * jax.random.normal(next(ks), (d,)),
+        "maskmem_tpos_enc": 0.02
+        * jax.random.normal(next(ks), (vcfg.num_maskmem, md)),
+    }
+
+
+def video_params_from_torch(path: str, cfg: S.SAM2Config = S.SAM2_BASE_PLUS,
+                            vcfg: VideoConfig = VIDEO_BASE_PLUS):
+    """Convert the memory modules of an official SAM2 checkpoint. Returns
+    (image_params, video_params) — image params via sam2_params_from_torch."""
+    import torch
+
+    params = S.sam2_params_from_torch(path, cfg)
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "model" in sd:
+        sd = sd["model"]
+    sd = {k: v.numpy() for k, v in sd.items()}
+
+    def lin(name):
+        return {"w": sd[f"{name}.weight"].T, "b": sd[f"{name}.bias"]}
+
+    def ln(name):
+        return {"w": sd[f"{name}.weight"], "b": sd[f"{name}.bias"]}
+
+    def cv(name):
+        p = {"w": np.ascontiguousarray(sd[f"{name}.weight"].transpose(2, 3, 1, 0))}
+        if f"{name}.bias" in sd:
+            p["b"] = sd[f"{name}.bias"]
+        return p
+
+    def dw(name):
+        # torch depthwise conv weight (C, 1, kh, kw) -> HWIO (kh, kw, 1, C)
+        return {
+            "w": np.ascontiguousarray(sd[f"{name}.weight"].transpose(2, 3, 1, 0)),
+            "b": sd[f"{name}.bias"],
+        }
+
+    me = "memory_encoder"
+    downsampler = [
+        (cv(f"{me}.mask_downsampler.encoder.{3 * i}"),
+         ln(f"{me}.mask_downsampler.encoder.{3 * i + 1}"))
+        for i in range(4)
+    ]
+    fuser = []
+    for i in range(2):
+        b = f"{me}.fuser.layers.{i}"
+        fuser.append({
+            "dwconv": dw(f"{b}.dwconv"),
+            "norm": ln(f"{b}.norm"),
+            "pwconv1": lin(f"{b}.pwconv1"),
+            "pwconv2": lin(f"{b}.pwconv2"),
+            "gamma": sd[f"{b}.gamma"],
+        })
+    ma = "memory_attention"
+    layers = []
+    for i in range(vcfg.mem_layers):
+        L = f"{ma}.layers.{i}"
+        layers.append({
+            "self_attn": {
+                "q": lin(f"{L}.self_attn.q_proj"),
+                "k": lin(f"{L}.self_attn.k_proj"),
+                "v": lin(f"{L}.self_attn.v_proj"),
+                "out": lin(f"{L}.self_attn.out_proj"),
+            },
+            "norm1": ln(f"{L}.norm1"),
+            "cross_attn": {
+                "q": lin(f"{L}.cross_attn_image.q_proj"),
+                "k": lin(f"{L}.cross_attn_image.k_proj"),
+                "v": lin(f"{L}.cross_attn_image.v_proj"),
+                "out": lin(f"{L}.cross_attn_image.out_proj"),
+            },
+            "norm2": ln(f"{L}.norm2"),
+            "linear1": lin(f"{L}.linear1"),
+            "linear2": lin(f"{L}.linear2"),
+            "norm3": ln(f"{L}.norm3"),
+        })
+    vparams = {
+        "mem_enc": {
+            "pix_feat_proj": cv(f"{me}.pix_feat_proj"),
+            "downsampler": downsampler,
+            "down_out": cv(f"{me}.mask_downsampler.encoder.12"),
+            "fuser": fuser,
+            "out_proj": cv(f"{me}.out_proj"),
+        },
+        "mem_attn": {"layers": layers, "norm": ln(f"{ma}.norm")},
+        "obj_ptr_proj": [lin(f"obj_ptr_proj.layers.{j}") for j in range(3)],
+        "obj_score_head": [
+            lin(f"sam_mask_decoder.pred_obj_score_head.layers.{j}")
+            for j in range(3)
+        ],
+        "no_obj_ptr": sd["no_obj_ptr"].reshape(-1),
+        # checkpoint shape (num_maskmem, 1, 1, mem_dim)
+        "maskmem_tpos_enc": sd["maskmem_tpos_enc"].reshape(
+            vcfg.num_maskmem, vcfg.mem_dim
+        ),
+    }
+    return params, jax.tree.map(jnp.asarray, vparams)
+
+
+# ---------------------------------------------------------------------------
+# SLAM refiner adapter (reference tracker2 behavior: one-frame video per
+# SLAM frame — init_state/add_new_points/propagate, read frame 0)
+# ---------------------------------------------------------------------------
+
+
+class Sam2VideoRefiner:
+    """`dynamic.mask.set_mask_refiner`-compatible refiner that drives the
+    video predictor EXACTLY like the reference (`monst3r_utils.py:640-703`):
+    one-frame video per SLAM frame, point prompts from connected-component
+    centroids, frame-0 mask replaces the flow-error mask. With
+    `carry_memory=True` the memory bank persists across SLAM frames
+    (beyond-reference temporal conditioning) instead of re-initializing."""
+
+    def __init__(self, params, vparams, cfg: S.SAM2Config = S.SAM2_BASE_PLUS,
+                 vcfg: VideoConfig = VIDEO_BASE_PLUS, carry_memory: bool = False,
+                 min_area: int = 20):
+        self.pred = Sam2VideoPredictor(params, vparams, cfg, vcfg)
+        self.carry_memory = carry_memory
+        self.min_area = min_area
+        self._state = None
+
+    def reset(self):
+        self._state = None
+
+    def __call__(self, img_u8, err_norm, raw_mask, threshold, min_area):
+        import cv2
+
+        from monst3r_slam_tpu.dynamic.mask import connected_component_centroids
+
+        h, w = raw_mask.shape
+        pts = connected_component_centroids(raw_mask, max(min_area, self.min_area))
+        if not pts:
+            return raw_mask
+        Simg = self.pred.cfg.img_size
+        img = cv2.resize(
+            np.asarray(img_u8[..., :3], np.uint8), (Simg, Simg),
+            interpolation=cv2.INTER_AREA,
+        )
+        pts_s = np.asarray(
+            [[(x / w * Simg, y / h * Simg) for (x, y) in pts]], np.float32
+        )
+        labels = np.ones((1, len(pts)), np.int32)
+        if self.carry_memory and self._state is not None:
+            state = self._state
+            state["images"].append(self.pred.init_state([img])["images"][0])
+            t = len(state["images"]) - 1
+            state["prompts"][t] = (pts_s, labels)
+        else:
+            state = self.pred.init_state([img])
+            self.pred.add_new_points(state, 0, 1, pts_s, labels)
+            t = 0
+        mask = None
+        for fi, obj_ids, logits in self.pred.propagate_in_video(state, t):
+            if fi == t and 1 in obj_ids:
+                mask = np.asarray(logits[0] > 0.0)
+                break
+        if self.carry_memory:
+            self._state = state
+        if mask is None:
+            return raw_mask
+        return cv2.resize(
+            mask.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
+        ).astype(bool)

@@ -76,13 +76,52 @@ def main():
     def kf_flag(i):
         return (i % cadence == 0) if cadence > 0 else False
 
+    # bench's between-frame sanitizer: random weights legally produce huge
+    # GN steps; reset diverged state so every frame runs the TRACKING path
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from monst3r_slam_tpu.core import lie
+
+    ident = np.asarray(lie.sim3_identity())
+
+    def sanitize():
+        bad = slam.mode != Mode.TRACKING
+        if not bad and slam.last_T_WC is not None:
+            T = np.asarray(slam.last_T_WC)
+            bad = (
+                not np.isfinite(T).all()
+                or float(np.linalg.norm(T[:3])) > 100.0
+                or not (1e-2 < abs(float(T[7])) < 1e2)
+            )
+        if not bad:
+            return 0
+        slam.mode = Mode.TRACKING
+        slam.idx_f2k = None
+        slam.last_T_WC = ident.copy()
+        slam._last_T_WC_dev = jnp.asarray(ident)
+        mem = slam.mem
+        slam.mem = _dc.replace(
+            mem,
+            T_WC=jnp.zeros_like(mem.T_WC).at[:, 6:].set(1.0),
+            X_canon=jnp.clip(
+                jnp.nan_to_num(mem.X_canon, nan=0.0, posinf=10.0, neginf=-10.0),
+                -10.0, 10.0,
+            ),
+        )
+        slam._kf_cache = None
+        return 1
+
     for i in range(n_warm):
         t0 = time.perf_counter()
         slam.process_frame(i, i / 30.0, frames[i], force_kf=kf_flag(i))
         print(f"warm {i}: {1e3*(time.perf_counter()-t0):8.1f} ms "
               f"mode={slam.mode.name} kf={slam.n_kf}", flush=True)
+        sanitize()
 
-    times = []
+    slam.prof.clear()
+    times, resets = [], 0
     for i in range(n_warm, len(frames)):
         t0 = time.perf_counter()
         slam.process_frame(i, i / 30.0, frames[i], force_kf=kf_flag(i))
@@ -90,14 +129,20 @@ def main():
         times.append(dt)
         print(f"frame {i}: {dt:8.1f} ms mode={slam.mode.name} kf={slam.n_kf}",
               flush=True)
+        resets += sanitize()
     t0 = time.perf_counter()
     slam.finalize()
     print(f"finalize: {1e3*(time.perf_counter()-t0):.0f} ms", flush=True)
     print(
         f"cadence={cadence} defer={int(defer)} single={int(single)}: "
-        f"median {np.median(times):.1f} ms  mean {np.mean(times):.1f} ms",
+        f"median {np.median(times):.1f} ms  mean {np.mean(times):.1f} ms "
+        f"resets={resets}",
         flush=True,
     )
+    print("stage ledger (ms, median over timed frames):", flush=True)
+    for k, v in slam.prof.items():
+        print(f"  {k:22s} n={len(v):3d} med {np.median(v):8.2f} "
+              f"mean {np.mean(v):8.2f} max {np.max(v):8.2f}", flush=True)
 
 
 if __name__ == "__main__":
