@@ -313,6 +313,24 @@ def main():
     emit("tracking_stage_encode_decode_fps", 1.0 / dt, "frames/s",
          (1.0 / dt) / BASELINE_FPS, note="partial: encoder + dual decoder + heads")
 
+    # MFU per stage (VERDICT r3 item 2): analytic FLOPs / achieved time vs
+    # the chip's bf16 peak — "decode is the wall at X ms" becomes "decode
+    # runs at Y% MFU, ceiling Z ms".
+    try:
+        from monst3r_slam_tpu.utils import flops as flops_mod
+
+        f_enc = flops_mod.encode_flops(cfg, h, w)
+        f_dec = flops_mod.decode_flops(cfg, h, w)
+        peak = flops_mod.chip_peak_flops()
+        enc_s = _extra["encode_ms"] / 1e3
+        dec_s = max(dt - enc_s, 1e-6)
+        _extra["chip_peak_tflops"] = round(peak / 1e12, 1)
+        _extra["mfu_encode"] = flops_mod.mfu(f_enc, enc_s, peak)
+        _extra["mfu_decode"] = flops_mod.mfu(f_dec, dec_s, peak)
+        _extra["mfu_encode_decode"] = flops_mod.mfu(f_enc + f_dec, dt, peak)
+    except Exception as e:
+        _extra["mfu_error"] = f"{type(e).__name__}: {e}"
+
     # --- 1c. full tracking frame step (HEADLINE)
     wd.phase("tracking", 600 if use_pallas else 240)
 
@@ -455,20 +473,22 @@ def main():
         _extra["monster_error"] = f"{type(e).__name__}: {e}"
         print(f"monster stage failed: {e!r}", file=sys.stderr, flush=True)
 
-    # --- 3. End-to-end SLAMSystem loop: what a user of main.py actually
-    # gets per frame — process_frame with the async backend thread,
-    # keyframing and pose recording. Run with synchronous per-frame resolve
-    # (defer_tracking_sync off, ~1 ms/frame slower than the deferred
-    # production default) so divergence is detected the frame it happens.
+    # --- 3. End-to-end SLAMSystem loop: what a user of main.py actually gets
+    # per frame — process_frame with the async backend thread, ORGANIC
+    # keyframing (match-fraction gate) and pose recording, at the production
+    # defer_tracking_sync=2 pipelining depth.
     #
-    # Random weights are geometrically inconsistent: matches are arbitrary,
-    # so individual GN solves can legally return huge-but-finite Sim3 steps
-    # (scale ~ e^11) that poison the keyframe memory and cascade into NaN ->
-    # permanent RELOC, where "FPS" would measure reloc no-ops (round-3's
-    # 66 FPS figure had exactly this flaw). `make_sanitizer` resets diverged
-    # pose/memory state BETWEEN frames so every timed frame runs the full
-    # tracking path; reset counts are reported alongside the metric.
+    # Frames follow a coherent synthetic scene (utils/oracle.py: height-field
+    # + known Sim3 trajectory). The REAL ViT-L decode runs every frame at
+    # full cost, then its outputs are overwritten ON DEVICE with the oracle's
+    # exact pointmaps PLUS 1e-6*tanh(real) — the data dependency keeps the
+    # decode in the device chain (XLA cannot dead-code it), while the tracker
+    # sees multi-view-consistent geometry. This replaces round-3's noise
+    # frames whose arbitrary GN steps needed 2-4 sanitizer resets per run
+    # (VERDICT r3 weak #6); target here is 0 resets and organic keyframes.
     import dataclasses as _dc
+
+    from monst3r_slam_tpu.utils import oracle as oracle_mod
 
     def make_sanitizer(slam, Mode):
         ident = np.asarray(lie.sim3_identity())
@@ -484,6 +504,7 @@ def main():
                 )
             if not bad:
                 return 0
+            slam._pending.clear()
             slam.mode = Mode.TRACKING
             slam.idx_f2k = None
             slam.last_T_WC = ident.copy()
@@ -503,149 +524,248 @@ def main():
 
         return sanitize
 
-    wd.phase("e2e_init", 420)
+    wd.phase("e2e_init", 480)
     try:
         from monst3r_slam_tpu.app.config import load_config
         from monst3r_slam_tpu.app.pipeline import Mode, SLAMSystem
+        from monst3r_slam_tpu.slam import retrieval as retrieval_mod
+
+        class OracleBenchSLAM(SLAMSystem):
+            """SLAMSystem whose decode outputs are oracle-overwritten (see
+            stage-3 comment). Frame ids flow host-side: the current frame's
+            id is pinned in make_frame, keyframe slots map to ids via
+            _append_keyframe, and add_factors records its edge lists so the
+            batched edge decode can look up per-row poses."""
+
+            def __post_init__(self):
+                super().__post_init__()
+                self._gt = {}
+                self._cur_fid = None
+                self._kf_fids = []
+                self._edge_ctx = None
+                self._rff = oracle_mod.make_rff(
+                    jax.random.PRNGKey(42),
+                    self.model_cfg.desc_dim or 24,
+                )
+                self._ofx = 0.6 * self.img_size[1]
+                self._ofy = 0.6 * self.img_size[1]
+
+            def register(self, fid, T_WC_gt):
+                self._gt[int(fid)] = np.asarray(T_WC_gt, np.float32)
+
+            def make_frame(self, frame_id, img_np):
+                self._cur_fid = int(frame_id)
+                return super().make_frame(frame_id, img_np)
+
+            def _append_keyframe(self, frame):
+                idx = super()._append_keyframe(frame)
+                # frame_id is a host-set device scalar: pulling it does NOT
+                # wait on the frame's compute chain
+                fid = int(np.asarray(frame.frame_id))
+                while len(self._kf_fids) <= idx:
+                    self._kf_fids.append(None)
+                self._kf_fids[idx] = fid
+                return idx
+
+            def add_factors(self, kf_i_list, kf_j_list, min_match_frac,
+                            is_reloc=False):
+                self._edge_ctx = (list(kf_i_list), list(kf_j_list))
+                try:
+                    return super().add_factors(
+                        kf_i_list, kf_j_list, min_match_frac, is_reloc
+                    )
+                finally:
+                    self._edge_ctx = None
+
+            def _decode_fids(self, feat_i, feat_j, B):
+                if self._edge_ctx is not None:
+                    ii, jj = self._edge_ctx
+                    E_pad = B // 2
+                    pi = ii + [ii[0]] * (E_pad - len(ii))
+                    pj = jj + [jj[0]] * (E_pad - len(jj))
+                    fi = [self._kf_fids[s] for s in pi + pj]
+                    fj = [self._kf_fids[s] for s in pj + pi]
+                    return fi, fj
+                if feat_j is feat_i:  # _mono_init: frame vs itself
+                    return [self._cur_fid], [self._cur_fid]
+                return [self._cur_fid], [self._kf_fids[self.n_kf - 1]]
+
+            def _decode_pair(self, feat_i, pos_i, feat_j, pos_j):
+                out = super()._decode_pair(feat_i, pos_i, feat_j, pos_j)
+                B = feat_i.shape[0]
+                fi, fj = self._decode_fids(feat_i, feat_j, B)
+                hh, ww = self.img_size
+                X1s, D1s, X2s, D2s = [], [], [], []
+                for b in range(B):
+                    Ti = jnp.asarray(self._gt[fi[b]])
+                    Tj = jnp.asarray(self._gt[fj[b]])
+                    X1o, D1o, X2o, D2o = oracle_mod.render_pair(
+                        Ti, Tj, self._rff, hh, ww, self._ofx, self._ofy
+                    )
+                    X1s.append(X1o)
+                    D1s.append(D1o)
+                    X2s.append(X2o)
+                    D2s.append(D2o)
+
+                def stk(xs, like):
+                    return jnp.stack(xs).reshape(like.shape)
+
+                def eps(t):  # bounded dependency on the REAL decode outputs
+                    return 1e-6 * jnp.tanh(t.astype(jnp.float32))
+
+                conf1 = 2.0 + eps(out.C1)
+                conf2 = 2.0 + eps(out.C2)
+                return model_api.PairOutput(
+                    X1=stk(X1s, out.X1) + eps(out.X1),
+                    C1=conf1,
+                    D1=stk(D1s, out.D1) + eps(out.D1),
+                    Q1=2.0 + eps(out.Q1),
+                    X2=stk(X2s, out.X2) + eps(out.X2),
+                    C2=conf2,
+                    D2=stk(D2s, out.D2) + eps(out.D2),
+                    Q2=2.0 + eps(out.Q2),
+                )
 
         e_cfg = load_config("config/base.yaml")
-        # random weights produce arbitrary confidences AND arbitrary
-        # pointmaps: relax every validity gate (incl. the matcher's 3D
-        # occlusion distance — with random pointmaps it zeroes valid_match,
-        # the GN system degenerates to H=0 -> NaN step -> permanent RELOC,
-        # and 'e2e FPS' would silently measure reloc no-ops) so the loop
-        # exercises the full tracking path.
-        e_cfg["tracking"]["Q_conf"] = -1e9
-        e_cfg["tracking"]["C_conf"] = -1e9
-        e_cfg["tracking"]["min_match_frac"] = 0.0
-        e_cfg["local_opt"]["Q_conf"] = -1e9
-        e_cfg["local_opt"]["min_match_frac"] = 0.0
-        e_cfg.setdefault("matching", {})["dist_thresh"] = 1e9
-        e_cfg["defer_tracking_sync"] = False
+        # production async mode: defer depth 2, backend worker thread
+        e_cfg["single_thread"] = False
         # Pin the (P, E) pad buckets so the timed loop NEVER first-calls a
         # new solve/edge-decode program shape: each first call costs ~10 s of
-        # executable upload on the relay (BENCH_r03 baseline run: 67 s of
-        # drain + a 2x-polluted median from exactly these crossings). This
-        # run reaches n_kf<=8 / ~16 graph edges / <=4 edges per keyframe
-        # event, all within one bucket each.
+        # executable upload on the relay (BENCH_r03: a 40.5 s churn frame
+        # from exactly such a crossing).
         e_cfg["edge_bucket_lo"] = 4
         e_cfg["local_opt"]["edge_pad_lo"] = 16
-        # Keyframe cadence is CONTROLLED via process_frame(force_kf=...):
-        # random weights give an arbitrary match fraction, so the natural
-        # gate degenerates to a keyframe (or none) EVERY frame — neither is
-        # the representative cost. Stage 3 pins 1 keyframe per 5 frames
-        # (typical real-sequence cadence); stage 4 pins 1 per frame (worst
-        # case). Both stages share this config, hence the same compiled
-        # tracker program.
-        KF_CADENCE = 5
-        slam = SLAMSystem(
+        STEP = float(os.environ.get("BENCH_ORACLE_STEP", "0.05"))
+        n_e2e = 4 if SMOKE else 16
+        n_warm_max = 4 if SMOKE else 14
+        n_total = n_warm_max + n_e2e + 2
+        gt = oracle_mod.gt_trajectory(n_total, step=STEP)
+        ofx = 0.6 * w
+        imgs_np = [
+            np.asarray(
+                oracle_mod.render_image(jnp.asarray(T), h, w, ofx, ofx)
+            )[0]
+            for T in gt
+        ]
+        slam = OracleBenchSLAM(
             params=params, model_cfg=cfg, cfg=e_cfg, img_size=(h, w),
+            retrieval_params=retrieval_mod.init_retrieval_params(
+                jax.random.PRNGKey(11), cfg.enc_dim
+            ),
+            retrieval_db=retrieval_mod.ASMKDatabase(None, n_words=1024),
         )
         sanitize = make_sanitizer(slam, Mode)
-        rng = np.random.default_rng(3)
-        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-        base = np.stack(
-            [np.sin(0.05 * xx), np.cos(0.07 * yy), np.sin(0.03 * (xx + yy))], -1
-        )
-        # warmup must reach past the retrieval bootstrap (5 keyframes) so the
-        # first retrieval-edge decode bucket compiles pre-timer
-        n_e2e = (3 if SMOKE else 16)
-        n_warm = 2 if SMOKE else 7
-        e_frames = [
-            (base + 0.02 * i
-             + 0.01 * rng.standard_normal((h, w, 3))).astype(np.float32)
-            for i in range(n_warm + n_e2e)
-        ]
-        for i in range(n_warm):
-            slam.process_frame(i, i / 30.0, e_frames[i],
-                               force_kf=(i % KF_CADENCE == 0))
-            sanitize()
+        # Warmup: all programs the timed loop touches, incl. one organic
+        # keyframe event (edge decode + retrieval + async solve) and the
+        # retrieval bootstrap. force_kf on a few early frames guarantees the
+        # keyframe-path programs compile pre-timer even if the organic gate
+        # fires late.
+        warm_resets = 0
+        for i in range(n_warm_max):
+            slam.register(i, gt[i])
+            slam.process_frame(i, i / 30.0, imgs_np[i],
+                               force_kf=(True if i in (2, 4, 6) else None))
+            warm_resets += sanitize()
+        if slam._worker is not None:
+            slam._backend_jobs.join()  # solve compiles drain pre-timer
+            slam._apply_backend_results()
+        _extra["e2e_warm_resets"] = warm_resets
+        slam.prof.clear()
         wd.phase("e2e", 300)
         n_tracked, n_reset = 0, 0
+        kf_before = slam.n_kf
         frame_ms = []
         t0 = time.perf_counter()
-        for i in range(n_warm, len(e_frames)):
+        for i in range(n_warm_max, n_warm_max + n_e2e):
             tf = time.perf_counter()
-            slam.process_frame(i, i / 30.0, e_frames[i],
-                               force_kf=(i % KF_CADENCE == 0))
+            slam.register(i, gt[i])
+            slam.process_frame(i, i / 30.0, imgs_np[i])
             frame_ms.append((time.perf_counter() - tf) * 1e3)
             n_tracked += int(slam.mode == Mode.TRACKING)
             n_reset += sanitize()
         t_loop = time.perf_counter() - t0
-        # finalize() drains queued async-backend jobs; its cost is dominated
-        # by one-time XLA compiles of the (P, E) solve / edge-decode shapes
-        # first reached near the end of the run, so it is reported separately
-        # instead of being amortized into the per-frame figure.
         slam.finalize()
         _extra["e2e_drain_ms"] = round(
             (time.perf_counter() - t0 - t_loop) * 1e3, 1
         )
-        # Median, not mean: the axon relay charges ~10 s PER DISTINCT PROGRAM
-        # at its first call in a process even on a persistent-cache HIT
-        # (executable upload over the tunnel — a dev-relay artifact, not a
-        # TPU property), so the mean mixes one-time loads of late-reached
-        # (P, E) bucket shapes into the steady state. Mean kept in extras.
         dt = float(np.median(frame_ms)) / 1e3
+        mx_over_med = float(np.max(frame_ms)) / max(float(np.median(frame_ms)), 1e-9)
         _extra["e2e_slam_ms_mean"] = round(t_loop / n_e2e * 1e3, 2)
         _extra["e2e_slam_ms_median"] = round(dt * 1e3, 2)
         _extra["e2e_frame_ms"] = [round(x, 1) for x in frame_ms]
         _extra["e2e_slam_fps"] = round(1.0 / dt, 3)
-        # A reloc-spinning loop must never masquerade as tracking throughput:
-        # record how many timed frames actually ran the TRACKING path (the
-        # sanitizer guarantees each frame STARTS in TRACKING; this counts
-        # frames whose own solve also ended sane).
         _extra["e2e_tracked_frames"] = f"{n_tracked}/{n_e2e}"
         _extra["e2e_sanitizer_resets"] = n_reset
         _extra["e2e_n_kf"] = int(slam.n_kf)
+        _extra["e2e_organic_keyframes"] = int(slam.n_kf) - kf_before
+        # mid-loop compile guard (VERDICT r3 item 1): a frame >3x the median
+        # means a first-call/compile landed inside the timed window
+        _extra["e2e_max_over_median"] = round(mx_over_med, 2)
+        _extra["e2e_clean"] = bool(mx_over_med <= 3.0)
+        _extra["e2e_stage_ms"] = {
+            k: round(float(np.median(v)), 2) for k, v in slam.prof.items()
+        }
         emit("e2e_slam_fps_512x384_vitl", 1.0 / dt, "frames/s",
              (1.0 / dt) / BASELINE_FPS,
              note="full main.py loop (steady-state median): process_frame "
-                  "incl. host overheads, sync resolve, async backend, "
-                  f"keyframe every {KF_CADENCE} frames (pinned cadence); "
-                  "every timed frame runs the tracking path (sanitizer "
-                  f"resets between frames: {n_reset}/{n_e2e})")
+                  "incl. host overheads, defer_tracking_sync=2 pipelining, "
+                  "async backend, ORGANIC keyframes on a coherent oracle "
+                  "scene with the real ViT-L decode in the chain; sanitizer "
+                  f"resets {n_reset}/{n_e2e}, "
+                  f"clean={bool(mx_over_med <= 3.0)}")
     except Exception as e:
         _extra["e2e_error"] = f"{type(e).__name__}: {e}"
+        import traceback
+
+        traceback.print_exc()
         print(f"e2e stage failed: {e!r}", file=sys.stderr, flush=True)
 
     # --- 4. End-to-end loop under keyframe churn: every frame becomes a
-    # keyframe (force_kf=True), so each process_frame also pays the
-    # keyframe memory write, factor-graph edge decode, retrieval update and
-    # an async backend solve — the worst-case per-frame cost of main.py.
-    # Same config as stage 3 -> same compiled tracker program.
-    wd.phase("e2e_churn_init", 240)
+    # keyframe (force_kf=True), so each process_frame also pays the keyframe
+    # memory write, factor-graph edge decode, retrieval update and an async
+    # backend solve — the worst-case per-frame cost of main.py. Same oracle
+    # scene; same tracker program as stage 3.
+    wd.phase("e2e_churn_init", 300)
     try:
         import copy as _copy
 
-        # Churn reaches n_kf ~19 / ~50 graph edges: pin its solve buckets one
-        # size up so the pose bucket never crosses 8->16->32 mid-loop (its
-        # solve program shape differs from stage 3's and is first-called
-        # during this stage's own warmup). Same tracker/edge-decode programs.
         ch_cfg = _copy.deepcopy(e_cfg)
+        # churn reaches n_kf ~20 / ~50 edges: pin its solve buckets one size
+        # up so no pose/edge bucket crossing lands mid-loop
         ch_cfg["local_opt"]["pose_pad_lo"] = 32
         ch_cfg["local_opt"]["edge_pad_lo"] = 64
-        slam_ch = SLAMSystem(
+        n_churn = 3 if SMOKE else 12
+        n_warm_ch = 3 if SMOKE else 7  # past the 5-keyframe retrieval bootstrap
+        gt_ch = oracle_mod.gt_trajectory(n_warm_ch + n_churn, step=STEP)
+        imgs_ch = [
+            np.asarray(
+                oracle_mod.render_image(jnp.asarray(T), h, w, ofx, ofx)
+            )[0]
+            for T in gt_ch
+        ]
+        slam_ch = OracleBenchSLAM(
             params=params, model_cfg=cfg, cfg=ch_cfg, img_size=(h, w),
+            retrieval_params=retrieval_mod.init_retrieval_params(
+                jax.random.PRNGKey(12), cfg.enc_dim
+            ),
+            retrieval_db=retrieval_mod.ASMKDatabase(None, n_words=1024),
         )
         sanitize_ch = make_sanitizer(slam_ch, Mode)
-        n_churn = 3 if SMOKE else 12
-        n_warm_ch = 2 if SMOKE else 6  # past the 5-keyframe retrieval bootstrap
-        rng = np.random.default_rng(11)
-        ch_frames = [
-            (base + 0.02 * i
-             + 0.01 * rng.standard_normal((h, w, 3))).astype(np.float32)
-            for i in range(n_warm_ch + n_churn)
-        ]
         for i in range(n_warm_ch):
-            slam_ch.process_frame(i, i / 30.0, ch_frames[i], force_kf=True)
+            slam_ch.register(i, gt_ch[i])
+            slam_ch.process_frame(i, i / 30.0, imgs_ch[i], force_kf=True)
             sanitize_ch()
+        if slam_ch._worker is not None:
+            slam_ch._backend_jobs.join()
+            slam_ch._apply_backend_results()
         wd.phase("e2e_churn", 300)
         n_tracked_ch, n_reset_ch = 0, 0
         churn_ms = []
         t0 = time.perf_counter()
-        for i in range(n_warm_ch, len(ch_frames)):
+        for i in range(n_warm_ch, len(imgs_ch)):
             tf = time.perf_counter()
-            slam_ch.process_frame(i, i / 30.0, ch_frames[i], force_kf=True)
+            slam_ch.register(i, gt_ch[i])
+            slam_ch.process_frame(i, i / 30.0, imgs_ch[i], force_kf=True)
             churn_ms.append((time.perf_counter() - tf) * 1e3)
             n_tracked_ch += int(slam_ch.mode == Mode.TRACKING)
             n_reset_ch += sanitize_ch()
@@ -654,20 +774,24 @@ def main():
         _extra["e2e_churn_drain_ms"] = round(
             (time.perf_counter() - t0 - t_loop) * 1e3, 1
         )
-        dt = float(np.median(churn_ms)) / 1e3  # median: see stage-3 note
+        dt = float(np.median(churn_ms)) / 1e3
+        mx_over_med = float(np.max(churn_ms)) / max(float(np.median(churn_ms)), 1e-9)
         _extra["e2e_churn_ms_mean"] = round(t_loop / n_churn * 1e3, 2)
         _extra["e2e_churn_ms_median"] = round(dt * 1e3, 2)
         _extra["e2e_churn_frame_ms"] = [round(x, 1) for x in churn_ms]
         _extra["e2e_churn_n_kf"] = int(slam_ch.n_kf)
         _extra["e2e_churn_tracked_frames"] = f"{n_tracked_ch}/{n_churn}"
         _extra["e2e_churn_sanitizer_resets"] = n_reset_ch
+        _extra["e2e_churn_max_over_median"] = round(mx_over_med, 2)
+        _extra["e2e_churn_clean"] = bool(mx_over_med <= 3.0)
         emit("e2e_slam_kfchurn_fps_512x384_vitl", 1.0 / dt, "frames/s",
              (1.0 / dt) / BASELINE_FPS,
              note="full main.py loop with a keyframe EVERY frame "
                   "(force_kf=True, steady-state median): keyframe writes + "
                   "graph edges + retrieval + async backend solve per frame; "
                   f"{slam_ch.n_kf} keyframes over {n_churn} timed frames; "
-                  f"sanitizer resets {n_reset_ch}/{n_churn}")
+                  f"sanitizer resets {n_reset_ch}/{n_churn}, "
+                  f"clean={bool(mx_over_med <= 3.0)}")
     except Exception as e:
         _extra["e2e_churn_error"] = f"{type(e).__name__}: {e}"
         print(f"e2e churn stage failed: {e!r}", file=sys.stderr, flush=True)

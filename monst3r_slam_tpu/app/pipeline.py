@@ -16,6 +16,7 @@ makes runs deterministic by construction.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -379,15 +380,23 @@ class SLAMSystem:
         )
         self._idx_zero = jnp.zeros((1, self.hw), jnp.int32)  # cold warm-start
         # Cross-frame overlap: defer the host sync on each frame's tracking
-        # result until after the NEXT frame's encoder is dispatched, hiding
-        # ~10 ms of encode under the wait. Decisions and recorded poses are
-        # identical — only made one call later (see _resolve_pending). Like
-        # the async backend, it defaults on in production mode and off in the
-        # deterministic `single_thread` eval mode.
-        self.defer_sync = bool(
-            self.cfg.get("defer_tracking_sync", not self.single_thread)
+        # result by `defer_tracking_sync` FRAMES (int; bools accepted:
+        # False=0 sync, True=1 legacy one-frame defer). Depth d keeps d
+        # frames' device chains in flight, hiding per-program dispatch
+        # bubbles of the execution transport — measured on the relay-backed
+        # TPU: sync-every-frame 266 ms/frame vs 95 ms at depth 2 vs 68 ms at
+        # unbounded depth for the identical chain
+        # (scripts/profile_relay_depth.py). Depth 1 makes IDENTICAL decisions
+        # one call later (bit-exactness test); depth >= 2 additionally lets a
+        # new keyframe take effect d-1 frames late and detects RELOC d frames
+        # late — the production default is 2 in async mode; the deterministic
+        # `single_thread` eval mode stays synchronous (0).
+        raw_defer = self.cfg.get(
+            "defer_tracking_sync", 0 if self.single_thread else 2
         )
-        self._pending = None  # un-resolved tracking result of the last frame
+        self.defer_depth = int(raw_defer)  # bool -> 0/1
+        self.defer_sync = self.defer_depth > 0
+        self._pending = collections.deque()  # un-resolved tracking results
         self.last_summary = None  # last resolved decision vector (introspection)
         # Per-stage host wall times (ms) of the last frames, keyed by stage
         # name. Always on (two perf_counter calls + a list append per stage);
@@ -910,7 +919,15 @@ class SLAMSystem:
         # make_frame may be one frame stale; it is refreshed after resolve.
         frame = self.make_frame(frame_id, img_np)
         t2 = time.perf_counter()
-        self._resolve_pending()  # frame t-1: RELOC/new-keyframe decisions
+        # resolve the oldest in-flight frames down to the depth budget
+        # (depth 1: frame t-1's RELOC/new-keyframe decisions, as before)
+        self._resolve_to_depth(self.defer_depth)
+        if self.mode == Mode.RELOC:
+            # a resolution flipped to RELOC: later in-flight frames were
+            # dispatched under TRACKING assumptions — resolve them now so a
+            # successful relocalization below isn't immediately overridden
+            # by a stale pending decision
+            self._resolve_pending()
         t3 = time.perf_counter()
         p = self.prof
         p.setdefault("apply_backend", []).append((t1 - t0) * 1e3)
@@ -1146,12 +1163,13 @@ class SLAMSystem:
             dbg = (idx_f2k, valid_match_k, out.Q1, out.Q2, fC, fN,
                    mem_C[kf_idx], mem_N[kf_idx])
         # The host-side decisions on `res` (RELOC check, pose write-back,
-        # keyframe addition) are deferred to the next frame so its encoder
-        # dispatch hides under this sync (config `defer_tracking_sync`).
-        self._pending = dict(
+        # keyframe addition) are deferred up to `defer_depth` frames so later
+        # frames' dispatches hide under this result's device tail (config
+        # `defer_tracking_sync`).
+        self._pending.append(dict(
             frame_id=frame_id, frame=frame, res=res, summary=summary,
             uimg=uimg, dyn_mask=cur_dyn_mask, dbg=dbg, force_kf=force_kf,
-        )
+        ))
         p.setdefault("track_dispatch", []).append(
             (time.perf_counter() - t5) * 1e3
         )
@@ -1163,13 +1181,24 @@ class SLAMSystem:
             )
 
     def _resolve_pending(self):
-        """Host-side decisions for the last dispatched tracking step (the
-        reference does these inline, tracker2.py:180-213; here they run one
-        frame late so encode(t+1) overlaps the device tail of track(t))."""
-        p = self._pending
-        if p is None:
-            return
-        self._pending = None
+        """Drain ALL pending tracking results (finalize/snapshot/frame-entry
+        when the depth budget is exhausted)."""
+        while self._pending:
+            self._resolve_one(self._pending.popleft())
+
+    def _resolve_to_depth(self, depth: int):
+        """Resolve oldest pending results until at most max(depth-1, 0)
+        remain, so the frame about to be dispatched stays within the
+        configured in-flight budget."""
+        keep = max(depth - 1, 0)
+        while len(self._pending) > keep:
+            self._resolve_one(self._pending.popleft())
+
+    def _resolve_one(self, p: dict):
+        """Host-side decisions for one dispatched tracking step (the
+        reference does these inline, tracker2.py:180-213; here they run up to
+        `defer_depth` frames late so encode/decode of later frames overlap
+        the device tail of this one)."""
         frame_id, frame, res = p["frame_id"], p["frame"], p["res"]
 
         # Debug: final valid_opt mask overlay (tracker2.py:180-206; same

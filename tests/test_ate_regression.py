@@ -199,7 +199,14 @@ def test_end_to_end_ate_on_synthetic_trajectory(single_thread):
     assert n == n_frames
     # exact geometry, sub-pixel matcher, full GN: trajectory must be tight.
     # GT motion spans ~0.6 units; 0.01 = ~1.6% of trajectory extent.
-    assert rmse < 0.01, f"ATE regression ({single_thread=}): rmse={rmse:.4f}"
+    # The async default defers host decisions by 2 frames
+    # (defer_tracking_sync=2, hides relay dispatch bubbles): on this
+    # keyframe-DENSE toy (a keyframe every ~2 frames, large inter-frame
+    # motion) frames track against a one-frame-stale keyframe, measured
+    # +0.005 ATE; at production keyframe cadence the effect vanishes
+    # (scripts/ablate_accuracy.py defer rows).
+    bound = 0.01 if single_thread else 0.02
+    assert rmse < bound, f"ATE regression ({single_thread=}): rmse={rmse:.4f}"
 
 
 def test_oracle_renders_consistent_geometry():
@@ -416,6 +423,28 @@ def test_reloc_recovers_in_deferred_mode():
         np.stack(slam_d.frame_poses), np.stack(slam_s.frame_poses), atol=1e-5
     )
     np.testing.assert_allclose(rmse_d, rmse_s, atol=1e-6)
+
+def test_reloc_recovers_at_defer_depth_2():
+    """defer_tracking_sync=2 (the async-mode default: two frames in flight,
+    hiding relay dispatch bubbles) must still complete the break -> RELOC ->
+    recovery cycle. Decisions land up to two frames late, so the trajectory
+    is NOT required to be bit-identical to the synchronous one — but it must
+    recover to TRACKING and its ATE must stay comparable."""
+    from monst3r_slam_tpu.slam.frame import Mode
+
+    n = 12
+    rmse_s, _, _ = _run_noisy(n, with_backend=True, break_frames={5})
+    rmse_d, slam_d, modes_d = _run_noisy(
+        n, with_backend=True, break_frames={5}, defer=2
+    )
+    assert slam_d.defer_depth == 2
+    assert Mode.RELOC in modes_d, "depth-2 mode never entered RELOC"
+    assert modes_d[-1] == Mode.TRACKING, "depth-2 mode never recovered"
+    assert len(slam_d.frame_poses) == n
+    assert np.isfinite(np.stack(slam_d.frame_poses)).all()
+    assert np.isfinite(rmse_d)
+    assert rmse_d < 3 * max(rmse_s, 0.02), (rmse_d, rmse_s)
+
 
 def test_force_kf_overrides_device_decision():
     """process_frame(force_kf=...) pins keyframe creation host-side without

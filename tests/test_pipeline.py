@@ -280,7 +280,7 @@ def test_deferred_sync_matches_synchronous():
     decisions are made (one process_frame call later)."""
     sync = _run_video(False)
     defer = _run_video(True)
-    assert defer._pending is None  # finalize resolved the tail frame
+    assert len(defer._pending) == 0  # finalize resolved the tail frames
     assert len(defer.frame_poses) == len(sync.frame_poses)
     np.testing.assert_allclose(
         np.stack(defer.frame_poses), np.stack(sync.frame_poses), atol=1e-6
