@@ -285,6 +285,37 @@ def _match_track_and_update(
     return outs + (idx_f2k, valid_match_k)
 
 
+@partial(jax.jit, static_argnames=("h", "w", "stride"))
+def _surfel_snapshot(X_flat, C, N, T_WC, h: int, w: int, stride: int):
+    """Per-keyframe surfel attributes for the live viewer, ONE program:
+    world points, grid normals (cross of pixel-grid tangents, rotated to
+    world — the reference computes these in surfelmap.glsl's geometry
+    stage), footprint radii (mean neighbor distance x stride), and average
+    confidence; all strided to the snapshot budget before download."""
+    X = X_flat.reshape(h, w, 3)
+    # forward differences with edge clamp
+    dXu = jnp.diff(X, axis=1, append=X[:, -1:] + (X[:, -1:] - X[:, -2:-1]))
+    dXv = jnp.diff(X, axis=0, append=X[-1:] + (X[-1:] - X[-2:-1]))
+    n_cam = jnp.cross(dXu, dXv)
+    n_cam = n_cam / jnp.maximum(
+        jnp.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-12
+    )
+    r = 0.5 * (
+        jnp.linalg.norm(dXu, axis=-1) + jnp.linalg.norm(dXv, axis=-1)
+    ) * float(stride)
+    M = lie.sim3_matrix(T_WC)
+    s = T_WC[7]
+    R_pure = M[:3, :3] / s  # normals rotate without scale
+    Xw = lie.sim3_act(T_WC, X.reshape(-1, 3))[::stride]
+    Nw = (n_cam.reshape(-1, 3) @ R_pure.T)[::stride]
+    rad = (r.reshape(-1) * s)[::stride]
+    conf = (
+        C.reshape(-1)[::stride]
+        / jnp.maximum(N.astype(jnp.float32), 1.0)
+    )
+    return Xw, Nw, rad, conf
+
+
 @partial(jax.jit, static_argnames=("P",))
 def _snap_slice(x, P: int):
     """First-P slice that always materializes a NEW buffer (jit outputs never
@@ -1305,24 +1336,31 @@ class SLAMSystem:
         if n == 0:
             return
         self._last_viz_push = now
-        # Downsampled world-frame cloud from the keyframe memory: stride the
-        # pixels so the snapshot stays ~200k points regardless of n_kf.
+        # Downsampled world-frame SURFEL cloud from the keyframe memory:
+        # one fused device program per keyframe computes world points, grid
+        # normals, and footprint radii (the reference's surfelmap.glsl
+        # renders the same quantities on the GPU,
+        # resources/programs/surfelmap.glsl:1-136), strided so the snapshot
+        # stays ~200k surfels regardless of n_kf.
         stride = max(1, (n * self.hw) // 200_000)
-        X = np.asarray(self.mem.X_canon[:n])[:, ::stride]  # (n, m, 3)
-        C = np.asarray(self.mem.C[:n])[:, ::stride, 0]
-        N_ = np.maximum(np.asarray(self.mem.N[:n])[:, None], 1.0)
+        h, w = self.img_size
         T = np.asarray(self.mem.T_WC[:n])
         cols = self.keyframe_colors()[:, ::stride]
         if self.cur_uimg is not None and hasattr(self.viewer, "update_frame"):
             # input-frame strip with the dynamic mask tinted (reference
             # visualization.py:118-126 overlay)
             self.viewer.update_frame(self.cur_uimg, self._last_dyn_mask)
-        pts, rgb = [], []
+        pts, rgb, nrm, rad = [], [], [], []
         for i in range(n):
-            keep = (C[i] / N_[i]) > self.viz_C_conf  # slider-controlled filter
-            Xw = np.asarray(lie.sim3_act(T[i], X[i]))
-            pts.append(Xw[keep])
+            Xw, Nw, R, conf = _surfel_snapshot(
+                self.mem.X_canon[i], self.mem.C[i], self.mem.N[i],
+                self.mem.T_WC[i], h=h, w=w, stride=stride,
+            )
+            keep = np.asarray(conf) > self.viz_C_conf  # slider-controlled
+            pts.append(np.asarray(Xw)[keep])
             rgb.append(cols[i][keep])
+            nrm.append(np.asarray(Nw)[keep])
+            rad.append(np.asarray(R)[keep])
         if not pts:
             return
         traj = (
@@ -1334,6 +1372,7 @@ class SLAMSystem:
             np.concatenate(pts), np.concatenate(rgb), traj=traj,
             kf_centers=T[:, :3],
             kf_segments=type(self.viewer).frustum_segments(T),
+            normals=np.concatenate(nrm), radii=np.concatenate(rad),
         )
 
     # ------------------------------------------------------------------

@@ -78,12 +78,16 @@ def render_frame(T_WC, h: int, w: int, fx: float, fy: float,
     return X_cam, X_world
 
 
-def make_rff(key, desc_dim: int):
+def make_rff(key, desc_dim: int, scale: float = 1.5):
     """Random-Fourier-feature descriptor params (world-point keyed, so
-    descriptors are multi-view consistent)."""
+    descriptors are multi-view consistent). `scale` sets the descriptor
+    texture frequency: at 384x512 the pixel footprint is ~5x smaller than
+    the 64x80 test scenes, so high-res benches need scale ~12 for locally
+    discriminative descriptors (unique-match fraction 0.17 -> 0.62 measured,
+    NOTES_r4)."""
     kw, kb = jax.random.split(key)
     return {
-        "W": 1.5 * jax.random.normal(kw, (3, desc_dim)),
+        "W": scale * jax.random.normal(kw, (3, desc_dim)),
         "b": jax.random.uniform(kb, (desc_dim,), maxval=2.0 * jnp.pi),
     }
 

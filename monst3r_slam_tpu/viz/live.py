@@ -56,6 +56,7 @@ const ctx = canvas.getContext('2d');
 let pts = new Float32Array(0), cols = new Uint8Array(0);
 let traj = new Float32Array(0), kfs = new Float32Array(0);
 let segs = new Float32Array(0);
+let nrms = new Float32Array(0), rads = new Float32Array(0);
 let seq = -1, center = [0,0,0], scale = 1;
 let yaw = 0.5, pitch = 0.4, dist = 4;
 let dragging = false, lx = 0, ly = 0;
@@ -96,17 +97,39 @@ function draw() {
   const f = 0.8 * Math.min(canvas.width, canvas.height);
   const img = ctx.createImageData(canvas.width, canvas.height);
   const zbuf = new Float32Array(canvas.width * canvas.height).fill(1e9);
+  const W = canvas.width, H = canvas.height;
+  const surfel = nrms.length === pts.length && rads.length * 3 === pts.length;
   for (let i = 0; i < pts.length; i += 3) {
     const p = proj(pts[i], pts[i+1], pts[i+2], cyaw, syaw, cp, sp, f);
     if (!p) continue;
     const u = Math.round(p[0]), v = Math.round(p[1]);
-    if (u < 0 || v < 0 || u >= canvas.width || v >= canvas.height) continue;
-    const idx = v * canvas.width + u;
-    if (p[2] > zbuf[idx]) continue;
-    zbuf[idx] = p[2];
-    const o = idx * 4;
-    img.data[o] = cols[i]; img.data[o+1] = cols[i+1];
-    img.data[o+2] = cols[i+2]; img.data[o+3] = 255;
+    let shade = 1.0, half = 0;
+    if (surfel) {
+      // normal-shaded splat (the reference's surfelmap.glsl path):
+      // rotate the world normal into view, Lambert vs the view direction
+      const nx = nrms[i], ny = nrms[i+1], nz = nrms[i+2];
+      const nz1 = -syaw * nx + cyaw * nz;
+      const nz2 = sp * ny + cp * nz1;
+      shade = 0.35 + 0.65 * Math.abs(nz2);
+      // screen-space radius from the world surfel footprint
+      const rpx = f * (rads[i/3] / scale) / p[2];
+      half = Math.min(7, Math.max(0, Math.round(rpx * 0.5)));
+    }
+    const r = cols[i] * shade, g = cols[i+1] * shade, b = cols[i+2] * shade;
+    for (let dv = -half; dv <= half; dv++) {
+      const vv = v + dv;
+      if (vv < 0 || vv >= H) continue;
+      for (let du = -half; du <= half; du++) {
+        const uu = u + du;
+        if (uu < 0 || uu >= W) continue;
+        const idx = vv * W + uu;
+        if (p[2] > zbuf[idx]) continue;
+        zbuf[idx] = p[2];
+        const o = idx * 4;
+        img.data[o] = r; img.data[o+1] = g;
+        img.data[o+2] = b; img.data[o+3] = 255;
+      }
+    }
   }
   ctx.putImageData(img, 0, 0);
   ctx.strokeStyle = '#4f4'; ctx.lineWidth = 1.5; ctx.beginPath();
@@ -135,19 +158,25 @@ async function poll() {
   try {
     const r = await fetch('/state.bin', {cache: 'no-store'});
     const buf = await r.arrayBuffer();
-    const head = new Uint32Array(buf, 0, 5);
+    const head = new Uint32Array(buf, 0, 6);
     if (head[0] !== seq) {
       seq = head[0];
       const np_ = head[1], nt = head[2], nk = head[3], ns = head[4];
-      let off = 20;
+      const hasSurfel = head[5];
+      let off = 24;
       pts = new Float32Array(buf.slice(off, off + np_*12)); off += np_*12;
       cols = new Uint8Array(buf.slice(off, off + np_*3)); off += np_*3;
       off += (4 - off % 4) % 4;
       traj = new Float32Array(buf.slice(off, off + nt*12)); off += nt*12;
       kfs = new Float32Array(buf.slice(off, off + nk*12)); off += nk*12;
-      segs = new Float32Array(buf.slice(off, off + ns*24));
+      segs = new Float32Array(buf.slice(off, off + ns*24)); off += ns*24;
+      if (hasSurfel) {
+        nrms = new Float32Array(buf.slice(off, off + np_*12)); off += np_*12;
+        rads = new Float32Array(buf.slice(off, off + np_*4));
+      } else { nrms = new Float32Array(0); rads = new Float32Array(0); }
       recenter(); draw();
-      hud.textContent = `update ${seq}: ${np_} pts, ${nk} keyframes, ${nt} poses`;
+      hud.textContent = `update ${seq}: ${np_} ` +
+        (hasSurfel ? 'surfels' : 'pts') + `, ${nk} keyframes, ${nt} poses`;
     }
   } catch (e) { hud.textContent = 'stream lost: ' + e; }
   try {
@@ -185,7 +214,7 @@ poll();
 </script></body></html>
 """
 
-_EMPTY = struct.pack("<5I", 0, 0, 0, 0, 0)
+_EMPTY = struct.pack("<6I", 0, 0, 0, 0, 0, 0)
 
 
 class LiveViewer:
@@ -298,19 +327,32 @@ class LiveViewer:
         traj: Optional[np.ndarray] = None,  # (t, 3) camera centers
         kf_centers: Optional[np.ndarray] = None,  # (k, 3)
         kf_segments: Optional[np.ndarray] = None,  # (L, 2, 3) frustum lines
+        normals: Optional[np.ndarray] = None,  # (n, 3) world normals
+        radii: Optional[np.ndarray] = None,  # (n,) surfel radii (world units)
         max_points: int = 250_000,
     ):
+        """With `normals` + `radii`, the page renders normal-shaded surfel
+        splats (the reference's surfelmap.glsl path); otherwise z-buffered
+        points."""
         points = np.asarray(points, np.float32).reshape(-1, 3)
         colors = np.asarray(colors).reshape(-1, 3)
         if colors.dtype != np.uint8:
             colors = np.uint8(np.clip(colors, 0, 1) * 255)
+        has_surfel = normals is not None and radii is not None
+        if has_surfel:
+            normals = np.asarray(normals, np.float32).reshape(-1, 3)
+            radii = np.asarray(radii, np.float32).reshape(-1)
         finite = np.isfinite(points).all(axis=1)
         points, colors = points[finite], colors[finite]
+        if has_surfel:
+            normals, radii = normals[finite], radii[finite]
         if points.shape[0] > max_points:
             sel = np.random.default_rng(0).choice(
                 points.shape[0], max_points, replace=False
             )
             points, colors = points[sel], colors[sel]
+            if has_surfel:
+                normals, radii = normals[sel], radii[sel]
         traj = (
             np.zeros((0, 3), np.float32)
             if traj is None
@@ -328,12 +370,14 @@ class LiveViewer:
         )
         self._seq += 1
         head = struct.pack(
-            "<5I", self._seq, points.shape[0], traj.shape[0], kf.shape[0],
-            segs.shape[0],
+            "<6I", self._seq, points.shape[0], traj.shape[0], kf.shape[0],
+            segs.shape[0], int(has_surfel),
         )
         body = points.tobytes() + colors.tobytes()
         body += b"\0" * ((4 - (len(head) + len(body)) % 4) % 4)
         blob = head + body + traj.tobytes() + kf.tobytes() + segs.tobytes()
+        if has_surfel:
+            blob += normals.tobytes() + radii.tobytes()
         with self._lock:
             self._blob = blob
 

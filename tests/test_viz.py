@@ -63,10 +63,10 @@ def test_live_viewer_roundtrip():
         assert "state.bin" in page
 
         blob = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
-        seq, n_p, n_t, n_k, n_s = struct.unpack_from("<5I", blob)
-        assert (seq, n_t, n_k, n_s) == (1, 7, 3, 24)
+        seq, n_p, n_t, n_k, n_s, has_surfel = struct.unpack_from("<6I", blob)
+        assert (seq, n_t, n_k, n_s, has_surfel) == (1, 7, 3, 24, 0)
         assert n_p == 500  # all finite
-        off = 20
+        off = 24
         got = np.frombuffer(blob, "<f4", n_p * 3, off).reshape(-1, 3)
         np.testing.assert_allclose(got, pts, rtol=1e-6)
         off += n_p * 12 + n_p * 3
@@ -79,7 +79,21 @@ def test_live_viewer_roundtrip():
         pts2[:10] = np.nan
         v.update(pts2, cols)
         blob2 = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
-        assert struct.unpack_from("<5I", blob2)[1] == 490
+        assert struct.unpack_from("<6I", blob2)[1] == 490
+
+        # surfel snapshot: normals + radii ride at the tail, flag set
+        nrm = rng.standard_normal((500, 3)).astype(np.float32)
+        rad = rng.uniform(0.01, 0.1, 500).astype(np.float32)
+        v.update(pts, cols, normals=nrm, radii=rad)
+        blob3 = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
+        h3 = struct.unpack_from("<6I", blob3)
+        assert h3[1] == 500 and h3[5] == 1
+        got_r = np.frombuffer(blob3, "<f4", 500, len(blob3) - 500 * 4)
+        np.testing.assert_allclose(got_r, rad, rtol=1e-6)
+        got_n = np.frombuffer(
+            blob3, "<f4", 1500, len(blob3) - 500 * 4 - 500 * 12
+        ).reshape(-1, 3)
+        np.testing.assert_allclose(got_n, nrm, rtol=1e-6)
     finally:
         v.stop()
 
