@@ -524,6 +524,33 @@ def main():
 
         return sanitize
 
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("h", "w", "fx", "fy"))
+    def _oracle_mix(Ti, Tj, rff, out, h: int, w: int, fx: float, fy: float):
+        """Oracle pointmaps/descriptors for B pose pairs, overwriting the
+        real decode outputs with a bounded 1e-6*tanh(real) dependency mix
+        (keeps the full decode in the device chain)."""
+        X1o, D1o, X2o, D2o = jax.vmap(
+            lambda a, b: oracle_mod.render_pair(a, b, rff, h, w, fx, fy)
+        )(Ti, Tj)
+
+        def eps(t):
+            return 1e-6 * jnp.tanh(t.astype(jnp.float32))
+
+        from monst3r_slam_tpu.models.mast3r import PairOutput as _PO
+
+        return _PO(
+            X1=X1o.reshape(out.X1.shape) + eps(out.X1),
+            C1=2.0 + eps(out.C1),
+            D1=D1o.reshape(out.D1.shape) + eps(out.D1),
+            Q1=2.0 + eps(out.Q1),
+            X2=X2o.reshape(out.X2.shape) + eps(out.X2),
+            C2=2.0 + eps(out.C2),
+            D2=D2o.reshape(out.D2.shape) + eps(out.D2),
+            Q2=2.0 + eps(out.Q2),
+        )
+
     wd.phase("e2e_init", 480)
     try:
         from monst3r_slam_tpu.app.config import load_config
@@ -542,10 +569,14 @@ def main():
                 self._gt = {}
                 self._cur_fid = None
                 self._kf_fids = []
-                self._edge_ctx = None
+                # thread-local: the async backend worker runs add_factors
+                # (edge decodes) concurrently with the main thread's
+                # tracking decode — a shared slot would mislabel fids
+                self._edge_tls = threading.local()
                 self._rff = oracle_mod.make_rff(
                     jax.random.PRNGKey(42),
                     self.model_cfg.desc_dim or 24,
+                    scale=12.0,  # high-res descriptor texture (see make_rff)
                 )
                 self._ofx = 0.6 * self.img_size[1]
                 self._ofy = 0.6 * self.img_size[1]
@@ -569,17 +600,18 @@ def main():
 
             def add_factors(self, kf_i_list, kf_j_list, min_match_frac,
                             is_reloc=False):
-                self._edge_ctx = (list(kf_i_list), list(kf_j_list))
+                self._edge_tls.ctx = (list(kf_i_list), list(kf_j_list))
                 try:
                     return super().add_factors(
                         kf_i_list, kf_j_list, min_match_frac, is_reloc
                     )
                 finally:
-                    self._edge_ctx = None
+                    self._edge_tls.ctx = None
 
             def _decode_fids(self, feat_i, feat_j, B):
-                if self._edge_ctx is not None:
-                    ii, jj = self._edge_ctx
+                edge_ctx = getattr(self._edge_tls, "ctx", None)
+                if edge_ctx is not None:
+                    ii, jj = edge_ctx
                     E_pad = B // 2
                     pi = ii + [ii[0]] * (E_pad - len(ii))
                     pj = jj + [jj[0]] * (E_pad - len(jj))
@@ -594,36 +626,14 @@ def main():
                 out = super()._decode_pair(feat_i, pos_i, feat_j, pos_j)
                 B = feat_i.shape[0]
                 fi, fj = self._decode_fids(feat_i, feat_j, B)
-                hh, ww = self.img_size
-                X1s, D1s, X2s, D2s = [], [], [], []
-                for b in range(B):
-                    Ti = jnp.asarray(self._gt[fi[b]])
-                    Tj = jnp.asarray(self._gt[fj[b]])
-                    X1o, D1o, X2o, D2o = oracle_mod.render_pair(
-                        Ti, Tj, self._rff, hh, ww, self._ofx, self._ofy
-                    )
-                    X1s.append(X1o)
-                    D1s.append(D1o)
-                    X2s.append(X2o)
-                    D2s.append(D2o)
-
-                def stk(xs, like):
-                    return jnp.stack(xs).reshape(like.shape)
-
-                def eps(t):  # bounded dependency on the REAL decode outputs
-                    return 1e-6 * jnp.tanh(t.astype(jnp.float32))
-
-                conf1 = 2.0 + eps(out.C1)
-                conf2 = 2.0 + eps(out.C2)
-                return model_api.PairOutput(
-                    X1=stk(X1s, out.X1) + eps(out.X1),
-                    C1=conf1,
-                    D1=stk(D1s, out.D1) + eps(out.D1),
-                    Q1=2.0 + eps(out.Q1),
-                    X2=stk(X2s, out.X2) + eps(out.X2),
-                    C2=conf2,
-                    D2=stk(D2s, out.D2) + eps(out.D2),
-                    Q2=2.0 + eps(out.Q2),
+                Ti = jnp.asarray(np.stack([self._gt[f] for f in fi]))
+                Tj = jnp.asarray(np.stack([self._gt[f] for f in fj]))
+                # ONE fused program: render + overwrite + dependency mix
+                # (an eager per-tensor version was ~16 relay dispatches)
+                return _oracle_mix(
+                    Ti, Tj, self._rff, out,
+                    h=self.img_size[0], w=self.img_size[1],
+                    fx=self._ofx, fy=self._ofy,
                 )
 
         e_cfg = load_config("config/base.yaml")
@@ -632,10 +642,15 @@ def main():
         # Pin the (P, E) pad buckets so the timed loop NEVER first-calls a
         # new solve/edge-decode program shape: each first call costs ~10 s of
         # executable upload on the relay (BENCH_r03: a 40.5 s churn frame
-        # from exactly such a crossing).
+        # from exactly such a crossing). Pads are masked slots, so the FIRST
+        # warmup solve compiles the exact (P=32, E=64) program the timed
+        # loop and the churn stage reuse.
         e_cfg["edge_bucket_lo"] = 4
-        e_cfg["local_opt"]["edge_pad_lo"] = 16
-        STEP = float(os.environ.get("BENCH_ORACLE_STEP", "0.05"))
+        e_cfg["local_opt"]["pose_pad_lo"] = 32
+        e_cfg["local_opt"]["edge_pad_lo"] = 64
+        # 0.12/frame with the gap-vs-match-frac decay measured in NOTES_r4
+        # gives ~1 organic keyframe per ~20 frames (TUM-like cadence)
+        STEP = float(os.environ.get("BENCH_ORACLE_STEP", "0.12"))
         n_e2e = 4 if SMOKE else 16
         n_warm_max = 4 if SMOKE else 14
         n_total = n_warm_max + n_e2e + 2
@@ -730,10 +745,12 @@ def main():
         import copy as _copy
 
         ch_cfg = _copy.deepcopy(e_cfg)
-        # churn reaches n_kf ~20 / ~50 edges: pin its solve buckets one size
-        # up so no pose/edge bucket crossing lands mid-loop
-        ch_cfg["local_opt"]["pose_pad_lo"] = 32
-        ch_cfg["local_opt"]["edge_pad_lo"] = 64
+        # churn accumulates ~170 graph edge slots over warm+timed keyframes:
+        # pin the solve's edge pad ABOVE that so no 64->128->256 bucket
+        # crossing lands mid-loop (BENCH r4 first run: one 40.3 s churn frame
+        # from exactly the 128 crossing); the E=256 program compiles at the
+        # first warmup solve
+        ch_cfg["local_opt"]["edge_pad_lo"] = 256
         n_churn = 3 if SMOKE else 12
         n_warm_ch = 3 if SMOKE else 7  # past the 5-keyframe retrieval bootstrap
         gt_ch = oracle_mod.gt_trajectory(n_warm_ch + n_churn, step=STEP)

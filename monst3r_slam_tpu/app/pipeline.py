@@ -1201,6 +1201,14 @@ class SLAMSystem:
             frame_id=frame_id, frame=frame, res=res, summary=summary,
             uimg=uimg, dyn_mask=cur_dyn_mask, dbg=dbg, force_kf=force_kf,
         ))
+        # Start the device->host copy of the decision vector NOW (it fires
+        # when the tracking program finishes): by resolve time — up to
+        # defer_depth frames later — the bytes are already host-side, so the
+        # sync pays no fresh round trip (~45 ms on a relay-backed TPU).
+        try:
+            summary.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         p.setdefault("track_dispatch", []).append(
             (time.perf_counter() - t5) * 1e3
         )
