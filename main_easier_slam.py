@@ -156,16 +156,21 @@ def main():
     if args.max_frames:
         n = min(n, args.max_frames)
 
-    from monst3r_slam_tpu.data.prefetch import FramePrefetcher
+    from monst3r_slam_tpu.data.prefetch import FramePrefetcher, uploading_preprocess
 
     # Decode+resize of frame t+1 overlaps the chip's work on frame t
     # (the reference preprocesses serially between device steps, main.py:247)
     frames = FramePrefetcher(
-        dataset, lambda img: resize_img(img, dataset.img_size), hi=n
+        dataset,
+        uploading_preprocess(lambda img: resize_img(img, dataset.img_size)),
+        hi=n,
     )
     t0 = time.time()
     for i, timestamp, out in frames:
-        slam.process_frame(i, timestamp, out["img"][0], uimg=out["unnormalized_img"])
+        slam.process_frame(
+            i, timestamp, out.get("img_dev", out["img"][0]),
+            uimg=out["unnormalized_img"],
+        )
         if slam.terminate_requested:  # viewer 'terminate' control (WindowMsg parity)
             print("terminated from viewer")
             frames.stop()

@@ -100,3 +100,19 @@ class FramePrefetcher:
     def stop(self):
         """Terminate the worker (used on early exit, e.g. viewer terminate)."""
         self._stop.set()
+
+
+def uploading_preprocess(resize_fn: Callable) -> Callable:
+    """Wrap a resize preprocess so the worker thread ALSO uploads the
+    normalized image to the device ("img_dev" in the payload): the main
+    loop's make_frame then pays no host->device transfer on the critical
+    path (~5-20 ms/frame on a relay-backed TPU). JAX transfers are
+    thread-safe; the upload of frame t+1 rides under frame t's compute."""
+    import jax.numpy as jnp
+
+    def fn(img):
+        out = resize_fn(img)
+        out["img_dev"] = jnp.asarray(out["img"])  # (1, h, w, 3) batched
+        return out
+
+    return fn

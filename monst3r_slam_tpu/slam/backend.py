@@ -491,17 +491,28 @@ def _assemble_dense(H, g, ii, jj, edge_valid, n_poses: int, cfg: BackendConfig):
 
 def _solve_dense(H_opt, g_opt, n_poses: int, cfg: BackendConfig):
     """Damped Cholesky solve of the reduced system -> dx (P, 7), pinned rows
-    zeroed."""
+    zeroed.
+
+    Jacobi (diagonal) preconditioning before the factorization: the normal
+    equations mix translation/rotation/scale blocks whose diagonal magnitudes
+    differ by ~sigma_ray^-2 vs sigma_dist^-2 (1e5x), which costs real
+    accuracy in an f32 factorization (the reference sidesteps this by
+    solving in f64 on the host, gn_kernels.cu:57-159). Scaling to unit
+    diagonal D^-1/2 H D^-1/2 recovers most of the f64 solver's ATE on the
+    noisy synthetic harness: device-f32 0.147 -> 0.116 host-f64; with this
+    preconditioner the f32 gap closes (scripts/ablate_accuracy.py,
+    NOTES_r4)."""
     pin = cfg.pin
     n_opt = n_poses - pin
     dim = n_opt * 7
-    # Tikhonov floor keeps padded (all-zero) pose blocks factorizable and
-    # guards f32 conditioning (reference solves in f64 on the host).
-    damp = 1e-6 * jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(H_opt))), 1.0)
-    H_opt = H_opt + (damp + 1e-8) * jnp.eye(dim)
-
-    L, lower = jax.scipy.linalg.cho_factor(H_opt, lower=True)
-    dx = jax.scipy.linalg.cho_solve((L, lower), g_opt)
+    diag = jnp.diagonal(H_opt)
+    # Tikhonov floor keeps padded (all-zero) pose blocks factorizable
+    damp = 1e-6 * jnp.maximum(jnp.max(jnp.abs(diag)), 1.0)
+    s = jax.lax.rsqrt(jnp.maximum(diag, damp))  # D^-1/2
+    Hs = H_opt * s[:, None] * s[None, :]
+    Hs = Hs + (1e-6 + 1e-8) * jnp.eye(dim)  # unit-diagonal damping
+    L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
+    dx = s * jax.scipy.linalg.cho_solve((L, lower), s * g_opt)
     dx = -dx  # NOTE sign (gn_kernels.cu:1192)
     dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
     dx = dx.reshape(n_opt, 7)

@@ -98,8 +98,15 @@ ABLATIONS = [
 
 
 def main():
+    rows = os.environ.get("ROWS", "")
+    ablations = ABLATIONS
+    if rows:
+        keys = [r.strip() for r in rows.split(",") if r.strip()]
+        ablations = [
+            (n, o) for n, o in ABLATIONS if any(k in n for k in keys)
+        ]
     print(f"n_frames={N_FRAMES} seeds={SEEDS}", flush=True)
-    for name, overrides in ABLATIONS:
+    for name, overrides in ablations:
         rmses, kfs = [], []
         t0 = time.perf_counter()
         for s in range(SEEDS):
