@@ -291,8 +291,14 @@ def main():
     kf_feat, kf_pos = model_api.encode(params, cfg, img)
     np.asarray(kf_feat)
 
+    # Precomputed input cycle: an eager `img + 1e-6*k` between chained calls
+    # costs ~2-4 ms of dispatch that used to pollute every stage reading
+    # (scripts/profile_dispatch_floor.py: the pure program floor is ~0.4 ms)
+    imgs_cycle = [img + 1e-6 * k for k in range(4)]
+    jax.block_until_ready(imgs_cycle)
+
     def enc_step(k, prev):
-        feat, _ = model_api.encode(params, cfg, img + 1e-6 * k)
+        feat, _ = model_api.encode(params, cfg, imgs_cycle[k % 4])
         return feat
 
     dt = chain_time(enc_step, n_track)
@@ -304,7 +310,7 @@ def main():
     wd.phase("decode", 240)
 
     def encdec_step(k, prev):
-        feat, pos = model_api.encode(params, cfg, img + 1e-6 * k)
+        feat, pos = model_api.encode(params, cfg, imgs_cycle[k % 4])
         out = model_api.decode(params, cfg, feat, pos, kf_feat, kf_pos, (h, w))
         return out.X1
 

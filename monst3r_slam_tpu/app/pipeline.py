@@ -429,6 +429,8 @@ class SLAMSystem:
         self.defer_sync = self.defer_depth > 0
         self._pending = collections.deque()  # un-resolved tracking results
         self.last_summary = None  # last resolved decision vector (introspection)
+        self.n_reloc_attempts = 0  # relocalize() invocations (observability)
+        self.n_relocs = 0  # successful relocalizations
         # Per-stage host wall times (ms) of the last frames, keyed by stage
         # name. Always on (two perf_counter calls + a list append per stage);
         # bench.py and profile scripts read it to attribute frame cost.
@@ -865,6 +867,7 @@ class SLAMSystem:
     # ------------------------------------------------------------------
 
     def relocalize(self, frame: Frame) -> bool:
+        self.n_reloc_attempts += 1
         if self._worker is not None:
             # Reloc needs a quiescent graph; wait out in-flight backend jobs
             # (the reference's RELOC also round-trips the backend process,
@@ -891,6 +894,7 @@ class SLAMSystem:
                 self.solve_backend()
             self.last_T_WC = np.asarray(self.mem.T_WC[kf_idx])
             self._last_T_WC_dev = self.mem.T_WC[kf_idx]
+            self.n_relocs += 1
             return True
         # Roll back the tentative keyframe (add-then-maybe-pop hazard noted
         # at main_monster_slam.py:29-31 — trivial here: functional state)

