@@ -560,53 +560,76 @@ class SLAMSystem:
     # Factor graph edges (global_opt.py:30-102 add_factors)
     # ------------------------------------------------------------------
 
-    def add_factors(self, kf_i_list: List[int], kf_j_list: List[int], min_match_frac, is_reloc=False) -> bool:
+    def add_factors(self, kf_i_list: List[int], kf_j_list: List[int], min_match_frac,
+                    is_reloc=False, track_cache=None) -> bool:
         """All edges decoded + matched in ONE batched device pass (2E pair
         decodes; the reference runs 4 serial decoder calls per edge,
         mast3r_utils.py:87-120), with a single host sync for the match-frac
-        gates instead of one per edge."""
+        gates instead of one per edge.
+
+        `track_cache` (optional) is the tracking step's decode + match for the
+        pair (j=new kf, i=j-1) — exactly the consecutive edge's j->i
+        direction, dict(kf_idx, out: PairOutput, idx, valid). When it matches
+        the LAST edge in the list, that direction is not re-decoded: the
+        fresh batch shrinks from 2E to 2E-1 pairs (E=1: batch 1, the
+        tracking decode's own program shape — no new compile)."""
         E = len(kf_i_list)
         if E == 0:
             return False
-        # Pad the edge batch to a pow2 bucket: every distinct batch size E
+        use_cache = (
+            track_cache is not None
+            and not is_reloc
+            and kf_i_list[-1] == kf_j_list[-1] - 1
+            and track_cache.get("kf_idx") == kf_i_list[-1]
+        )
+        # Slot layout: [i->j for every edge | j->i for edges without a cache
+        # | padding]. Padding to a pow2 bucket: every distinct batch size
         # compiles a fresh dual-decoder program over the remote compiler
         # (minutes each); buckets bound the variants to {1, 2, 4, 8, ...}.
-        # Padding repeats edge 0 — its duplicate results are simply unread.
+        # Padding repeats slot 0 — its duplicate results are simply unread.
         # `edge_bucket_lo` raises the floor so short runs stay in ONE bucket
-        # (one decode program) instead of crossing 1 -> 2 -> 4 as the graph
-        # grows; the extra padded-edge decode compute is the price.
-        E_pad = self.edge_bucket_lo
-        while E_pad < E:
-            E_pad *= 2
-        pad_i = kf_i_list + [kf_i_list[0]] * (E_pad - E)
-        pad_j = kf_j_list + [kf_j_list[0]] * (E_pad - E)
-        ii = jnp.asarray(pad_i)
-        jj = jnp.asarray(pad_j)
-        feat_i, pos_i = self.mem.feat[ii], self.mem.pos[ii]  # (E, n, d)
-        feat_j, pos_j = self.mem.feat[jj], self.mem.pos[jj]
+        # (one decode program) instead of crossing 2 -> 4 -> 8 as the graph
+        # grows; the extra padded-pair decode compute is the price.
+        src_a = list(kf_i_list)
+        src_b = list(kf_j_list)
+        n_ji = E - 1 if use_cache else E
+        for e in range(n_ji):
+            src_a.append(kf_j_list[e])
+            src_b.append(kf_i_list[e])
+        B = len(src_a)
+        # B == 1 (cached, no retrieval edges) reuses the batch-1 tracking
+        # decode program; otherwise the floor matches the uncached ladder.
+        B_pad = 1 if B == 1 else 2 * self.edge_bucket_lo
+        while B_pad < B:
+            B_pad *= 2
+        src_a += [src_a[0]] * (B_pad - B)
+        src_b += [src_b[0]] * (B_pad - B)
+        aa = jnp.asarray(src_a)
+        bb = jnp.asarray(src_b)
         out2 = self._decode_pair(
-            jnp.concatenate([feat_i, feat_j]),
-            jnp.concatenate([pos_i, pos_j]),
-            jnp.concatenate([feat_j, feat_i]),
-            jnp.concatenate([pos_j, pos_i]),
+            self.mem.feat[aa], self.mem.pos[aa],
+            self.mem.feat[bb], self.mem.pos[bb],
         )
-
-        def half(t, k):
-            return None if t is None else t[k * E_pad : (k + 1) * E_pad]
-
-        out_ij = model_api.PairOutput(*[half(t, 0) for t in out2])
-        out_ji = model_api.PairOutput(*[half(t, 1) for t in out2])
-        # out_ij: (Xii, Xji); out_ji: (Xjj, Xij)
-        # ONE matcher launch for both directions: the decode output is
-        # already batched [ij | ji] along axis 0, so matching out2 directly
-        # halves the matcher dispatches per keyframe event.
+        # Slot e < E: (Xii, Xji) of edge e; slot E+e: (Xjj, Xij) of edge e.
+        # ONE matcher launch for every direction in the batch.
         idx_all, valid_all = self.match_fn(out2.X1, out2.X2, out2.D1, out2.D2)
-        idx_i2j, idx_j2i = idx_all[:E_pad], idx_all[E_pad:]
-        valid_j, valid_i = valid_all[:E_pad], valid_all[E_pad:]
-        Qii = out_ij.Q1.reshape(E_pad, -1, 1)
-        Qji = out_ij.Q2.reshape(E_pad, -1, 1)
-        Qjj = out_ji.Q1.reshape(E_pad, -1, 1)
-        Qij = out_ji.Q2.reshape(E_pad, -1, 1)
+        hw = self.hw
+        Q1b = out2.Q1.reshape(B_pad, hw, 1)
+        Q2b = out2.Q2.reshape(B_pad, hw, 1)
+        idx_i2j, valid_j = idx_all[:E], valid_all[:E]
+        Qii, Qji = Q1b[:E], Q2b[:E]
+        idx_j2i, valid_i = idx_all[E:B], valid_all[E:B]
+        Qjj, Qij = Q1b[E:B], Q2b[E:B]
+        if use_cache:
+            c_idx = track_cache["idx"].reshape(1, hw)
+            c_valid = track_cache["valid"].reshape(1, hw, 1)
+            c_out = track_cache["out"]
+            c_Qjj = c_out.Q1.reshape(1, hw, 1)
+            c_Qij = c_out.Q2.reshape(1, hw, 1)
+            idx_j2i = jnp.concatenate([idx_j2i, c_idx], axis=0)
+            valid_i = jnp.concatenate([valid_i, c_valid], axis=0)
+            Qjj = jnp.concatenate([Qjj, c_Qjj], axis=0)
+            Qij = jnp.concatenate([Qij, c_Qij], axis=0)
         Qj = jnp.sqrt(jnp.take_along_axis(Qii, idx_i2j[..., None], axis=1) * Qji)
         Qi = jnp.sqrt(jnp.take_along_axis(Qjj, idx_j2i[..., None], axis=1) * Qij)
 
@@ -737,9 +760,13 @@ class SLAMSystem:
                 if data["kf_dyn_mask_valid"][i]:
                     self.kf_dyn_masks[i] = data["kf_dyn_mask"][i]
 
-    def backend_step(self, kf_idx: int, frame: Frame):
+    def backend_step(self, kf_idx: int, frame: Frame, track_cache=None):
         """Graph construction for a new keyframe: consecutive + retrieval
         edges, then a global solve (run_backend, main.py:84-106).
+
+        `track_cache` is the tracking step's decode/match for the pair
+        (frame=kf_idx, keyframe=kf_idx-1): exactly the consecutive edge's
+        j->i direction, so add_factors decodes only the i->j half fresh.
 
         `single_thread: True` (eval default): synchronous, deterministic.
         `single_thread: False` (reference runtime default): the whole step is
@@ -748,10 +775,14 @@ class SLAMSystem:
         frame — the worker must never slice live keyframe memory."""
         t0 = time.perf_counter()
         if self.single_thread:
-            self._backend_job_body(kf_idx, frame, None)
+            self._backend_job_body(kf_idx, frame, None, track_cache)
             self.backend_stall_s += time.perf_counter() - t0
             return
-        n_kf = int(self.mem.count)
+        # Host mirror, NOT int(self.mem.count): that device read syncs the
+        # whole device queue — including the worker's in-flight edge decodes
+        # and solves — onto the keyframe event's critical path (a large part
+        # of round-4's 216 ms kf_event median).
+        n_kf = self.n_kf
         P = min(_next_pow2(n_kf, self.backend_cfg.pose_pad_lo), self.mem.capacity)
         # _snap_slice, not `[:P]`: when P == capacity a trivial slice ALIASES
         # the live buffer, which the tracker donates every frame — the worker
@@ -765,10 +796,10 @@ class SLAMSystem:
             / jnp.maximum(self.mem.N[:P, None, None].astype(jnp.float32), 1.0),
             n_kf,
         )
-        self._backend_jobs.put((kf_idx, frame, snap))
+        self._backend_jobs.put((kf_idx, frame, snap, track_cache))
         self.backend_stall_s += time.perf_counter() - t0
 
-    def _backend_job_body(self, kf_idx: int, frame: Frame, snap):
+    def _backend_job_body(self, kf_idx: int, frame: Frame, snap, track_cache=None):
         retrieved = self._retrieve(frame, add_after_query=True)
         kf_i = [idx for idx in retrieved if idx < kf_idx - 1]
         ii = kf_i + ([kf_idx - 1] if kf_idx > 0 else [])
@@ -776,10 +807,18 @@ class SLAMSystem:
         with self._graph_lock:
             if ii:
                 self.add_factors(
-                    ii, jj, self.cfg.get("local_opt", {}).get("min_match_frac", 0.1)
+                    ii, jj, self.cfg.get("local_opt", {}).get("min_match_frac", 0.1),
+                    track_cache=track_cache,
                 )
             if snap is None:  # synchronous: solve on live memory
                 self.solve_backend()
+                return
+            # Work-shedding under keyframe churn: when newer jobs are already
+            # queued, THIS job's solve is superseded before anyone reads its
+            # result — skip it (edges + retrieval above still ran, they are
+            # cumulative). The newest job always solves. Round-4 churn queued
+            # 50.7 s of serial solves this way.
+            if not self._backend_jobs.empty():
                 return
             Twc, Xs, Cs, n_kf = snap
             Twc_new = self.graph.solve_poses(
@@ -1197,6 +1236,20 @@ class SLAMSystem:
         ):
             dbg = (idx_f2k, valid_match_k, out.Q1, out.Q2, fC, fN,
                    mem_C[kf_idx], mem_N[kf_idx])
+        # Tracking decode + match reuse: for the plain (MASt3R) pipeline the
+        # pair just decoded IS the consecutive factor-graph edge's j->i
+        # direction if this frame becomes a keyframe — hand it to
+        # backend_step so add_factors skips that re-decode (VERDICT r4 #2).
+        # The dual/easi3r paths mask C/D/Q post-decode and the lm matcher
+        # returns no reusable (idx, valid) here; they decode fresh.
+        track_pair = None
+        if (
+            self.dual is None and self.easi3r is None
+            and self.match_mode != "lm" and out is not None
+        ):
+            track_pair = dict(
+                kf_idx=kf_idx, out=out, idx=idx_f2k, valid=valid_match_k
+            )
         # The host-side decisions on `res` (RELOC check, pose write-back,
         # keyframe addition) are deferred up to `defer_depth` frames so later
         # frames' dispatches hide under this result's device tail (config
@@ -1204,6 +1257,7 @@ class SLAMSystem:
         self._pending.append(dict(
             frame_id=frame_id, frame=frame, res=res, summary=summary,
             uimg=uimg, dyn_mask=cur_dyn_mask, dbg=dbg, force_kf=force_kf,
+            track_pair=track_pair,
         ))
         # Start the device->host copy of the decision vector NOW (it fires
         # when the tracking program finishes): by resolve time — up to
@@ -1305,9 +1359,18 @@ class SLAMSystem:
             self.idx_f2k = None
             new_idx = self._append_keyframe(frame)
             self._set_kf_uimg(new_idx, p["uimg"], dyn_mask=p["dyn_mask"])
-            self.backend_step(new_idx, frame)
-            self.last_T_WC = np.asarray(self.mem.T_WC[new_idx])
-            self._last_T_WC_dev = self.mem.T_WC[new_idx]
+            tc = p.get("track_pair")
+            if tc is not None and tc["kf_idx"] != new_idx - 1:
+                tc = None  # an interleaved keyframe broke consecutiveness
+            self.backend_step(new_idx, frame, track_cache=tc)
+            if self.single_thread:
+                # the synchronous solve just updated this pose; read it back
+                self.last_T_WC = np.asarray(self.mem.T_WC[new_idx])
+                self._last_T_WC_dev = self.mem.T_WC[new_idx]
+            # async: the solve hasn't run yet — mem.T_WC[new_idx] still equals
+            # the tracked pose already host-side in sv[:8] (set above), and
+            # reading it back would sync the device queue behind the worker's
+            # in-flight programs (the bulk of round-4's 216 ms kf_event).
             self.prof.setdefault("kf_event", []).append(
                 (time.perf_counter() - tk) * 1e3
             )
