@@ -427,6 +427,15 @@ class SLAMSystem:
         )
         self.defer_depth = int(raw_defer)  # bool -> 0/1
         self.defer_sync = self.defer_depth > 0
+        if self.defer_depth >= 2:
+            # Visible accuracy-for-latency tradeoff (keyframes take effect
+            # and RELOC is detected up to d frames late): surface it in run
+            # output so deployments know the active mode.
+            print(
+                f"async tracking sync deferred {self.defer_depth} frames "
+                "(defer_tracking_sync; depth 1 = bit-exact decisions, "
+                "one frame late)"
+            )
         self._pending = collections.deque()  # un-resolved tracking results
         self.last_summary = None  # last resolved decision vector (introspection)
         self.n_reloc_attempts = 0  # relocalize() invocations (observability)

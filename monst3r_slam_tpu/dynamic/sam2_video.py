@@ -279,6 +279,9 @@ def _condition_and_decode(
     mem_feat,   # (num_maskmem, hw16, mem_dim)
     mem_pos,    # (num_maskmem, hw16, mem_dim)
     mem_valid,  # (num_maskmem,) bool
+    mem_tpos,   # (num_maskmem,) int32 — per-slot recency index into
+                # maskmem_tpos_enc (official: most recent prev frame -> 0,
+                # farther -> higher, conditioning frame -> num_maskmem-1)
     obj_ptrs,   # (max_obj_ptrs, d_model)
     ptr_valid,  # (max_obj_ptrs,) bool
     points01, labels, is_cond: jax.Array, multimask: jax.Array,
@@ -296,7 +299,11 @@ def _condition_and_decode(
 
     # memory bank -> fixed-capacity token axis
     spatial = mem_feat.reshape(1, -1, md)
-    spatial_pos = mem_pos + vparams["maskmem_tpos_enc"][:, None, :]
+    # tpos embedding by temporal DISTANCE from the current frame, not by
+    # storage slot: slots are written round-robin, so the slot id says
+    # nothing about recency (official sam2_base indexes maskmem_tpos_enc by
+    # num_maskmem - t_pos - 1, i.e. t_rel - 1).
+    spatial_pos = mem_pos + vparams["maskmem_tpos_enc"][mem_tpos][:, None, :]
     spatial_pos = spatial_pos.reshape(1, -1, md)
     n_spatial = spatial.shape[1]
     # pointer tokens: each d_model pointer splits into d_model/md tokens
@@ -390,8 +397,11 @@ class Sam2VideoPredictor:
     def init_state(self, images) -> dict:
         imgs = []
         Simg = self.cfg.img_size
+        native_hw = None
         for im in images:
             a = np.asarray(im)
+            if native_hw is None:
+                native_hw = (int(a.shape[0]), int(a.shape[1]))
             if a.dtype == np.uint8:
                 a = a.astype(np.float32) / 255.0
             if a.shape[:2] != (Simg, Simg):
@@ -403,8 +413,12 @@ class Sam2VideoPredictor:
         v = self.vcfg
         return {
             "images": imgs,
-            "prompts": {},  # frame_idx -> (points01, labels)
+            "prompts": {},  # frame_idx -> (points px native, labels)
             "obj_ids": [1],
+            # native (H, W) of the input video frames: prompt points are
+            # given in THESE pixels (official API contract) and normalized
+            # by them, not by the resized img_size
+            "video_hw": native_hw or (Simg, Simg),
             # fixed-capacity memory bank
             "mem_feat": jnp.zeros((v.num_maskmem, hw16, v.mem_dim)),
             "mem_pos": jnp.zeros((v.num_maskmem, hw16, v.mem_dim)),
@@ -424,13 +438,21 @@ class Sam2VideoPredictor:
 
     def _bank_views(self, state, t: int, cond_idx: int):
         """Select memories for frame t: the conditioning slot always, then
-        the most recent previous frames (slot recency by stored frame id);
-        temporal-position layout matches official t_pos ordering because
-        slots are written round-robin in frame order."""
+        the most recent previous frames (slot recency by stored frame id).
+        Slots are written round-robin, so each slot's temporal-position
+        embedding index is computed from its stored frame id: official
+        sam2_base gives the most recent previous frame tpos_enc[0], frames
+        farther back higher indices (t_rel - 1), and the conditioning frame
+        tpos_enc[num_maskmem - 1]."""
+        nm = self.vcfg.num_maskmem
+        rel = t - state["mem_frame"]  # (num_maskmem,) temporal distance
+        tpos = np.clip(rel - 1, 0, max(nm - 2, 0))
+        tpos = np.where(state["mem_frame"] == cond_idx, nm - 1, tpos)
         return (
             state["mem_feat"], state["mem_pos"],
             jnp.asarray(state["mem_valid"] & (state["mem_frame"] < t)
                         | (state["mem_frame"] == cond_idx)),
+            jnp.asarray(tpos, jnp.int32),
             state["obj_ptrs"],
             jnp.asarray(state["ptr_valid"] & (state["ptr_frame"] < t)),
         )
@@ -449,21 +471,21 @@ class Sam2VideoPredictor:
             fpn2, hr0, hr1 = _encode_video_frame(self.params, self.cfg, img)
             if t in state["prompts"]:
                 pts, lbs = state["prompts"][t]
-                pts01 = pts / float(Simg)
+                nh, nw = state.get("video_hw", (Simg, Simg))
+                pts01 = pts / np.asarray([float(nw), float(nh)], np.float32)
                 multimask = True
             else:
                 pts01 = np.zeros((1, 1, 2), np.float32)
                 lbs = -np.ones((1, 1), np.int32)
                 multimask = False
-            mem_feat, mem_pos, mem_valid, ptrs, ptr_valid = self._bank_views(
-                state, t, cond_idx
-            )
+            (mem_feat, mem_pos, mem_valid, mem_tpos, ptrs,
+             ptr_valid) = self._bank_views(state, t, cond_idx)
             is_cond = t == cond_idx
             mask_lo, obj_score, ptr, new_mem, new_mem_pos = (
                 _condition_and_decode(
                     self.params, self.vparams, self.cfg, v,
                     fpn2, hr0, hr1,
-                    mem_feat, mem_pos, mem_valid, ptrs, ptr_valid,
+                    mem_feat, mem_pos, mem_valid, mem_tpos, ptrs, ptr_valid,
                     jnp.asarray(pts01), jnp.asarray(lbs),
                     jnp.asarray(is_cond), jnp.asarray(bool(multimask)),
                 )
@@ -683,7 +705,9 @@ class Sam2VideoRefiner:
         labels = np.ones((1, len(pts)), np.int32)
         if self.carry_memory and self._state is not None:
             state = self._state
-            state["images"].append(self.pred.init_state([img])["images"][0])
+            state["images"].append(
+                jnp.asarray(img.astype(np.float32) / 255.0)[None]
+            )
             t = len(state["images"]) - 1
             state["prompts"][t] = (pts_s, labels)
         else:
@@ -696,6 +720,11 @@ class Sam2VideoRefiner:
                 mask = np.asarray(logits[0] > 0.0)
                 break
         if self.carry_memory:
+            # propagate_in_video never re-reads frames before the next
+            # start index; dropping the device image (~3 MB/frame at 512)
+            # keeps carry_memory bounded — the memory bank holds everything
+            # later frames consume
+            state["images"][t] = None
             self._state = state
         if mask is None:
             return raw_mask

@@ -251,3 +251,34 @@ def test_video_refiner_mechanism(params, vparams):
     assert out1.shape == out2.shape == (h, w)
     ref2.reset()
     assert ref2._state is None
+
+
+def test_tpos_indices_follow_recency_not_slot(params, vparams):
+    """maskmem_tpos_enc must be indexed by temporal distance from the
+    current frame (official sam2_base: most recent prev frame -> index 0,
+    farther -> t_rel - 1, conditioning frame -> num_maskmem - 1), NOT by the
+    round-robin storage slot (ADVICE r4 medium)."""
+    pred = V.Sam2VideoPredictor(params, vparams, CFG, VCFG)
+    nm = VCFG.num_maskmem
+    state = pred.init_state(_frames(1))
+    # fabricate a bank: cond frame 0 in slot 0; frames 7..11 rotated through
+    # slots 1..5 (slot = 1 + t % (nm-1) would place them out of slot order)
+    state["mem_valid"][:] = False
+    state["mem_frame"][:] = -1
+    for t in [7, 8, 9, 10, 11]:
+        slot = 1 + t % (nm - 1)
+        state["mem_valid"][slot] = True
+        state["mem_frame"][slot] = t
+    state["mem_valid"][0] = True
+    state["mem_frame"][0] = 0
+    _, _, valid, tpos, _, _ = pred._bank_views(state, t=12, cond_idx=0)
+    tpos = np.asarray(tpos)
+    valid = np.asarray(valid)
+    # cond slot gets the reserved last index
+    assert tpos[0] == nm - 1
+    for t in [7, 8, 9, 10, 11]:
+        slot = 1 + t % (nm - 1)
+        assert valid[slot]
+        assert tpos[slot] == min(12 - t - 1, nm - 2), (t, slot, tpos[slot])
+    # most recent frame (11) maps to index 0 regardless of its slot
+    assert tpos[1 + 11 % (nm - 1)] == 0
