@@ -102,11 +102,9 @@ def main():
         )
         # No pretrained codebook: bootstrap one by k-means over the first
         # keyframes' own features (far better cell occupancy than a random
-        # Gaussian codebook; see ASMKDatabase docstring).
-        retr_db = retrieval_mod.ASMKDatabase(
-            None, n_words=1024,
-            use_idf=bool(config.get("retrieval", {}).get("use_idf", False)),
-        )
+        # Gaussian codebook; see ASMKDatabase docstring). Codebook policy
+        # (retrieval.n_words / bootstrap_frames) comes from the config.
+        retr_db = retrieval_mod.ASMKDatabase.from_config(config)
 
     slam = SLAMSystem(
         params=params,

@@ -203,11 +203,9 @@ def main():
         jax.random.PRNGKey(1), monst3r_cfg.enc_dim
     )
     # No pretrained codebook by default: bootstrap one by k-means over the
-    # first keyframes' own features (see ASMKDatabase docstring).
-    retr_db = retrieval_mod.ASMKDatabase(
-            None, n_words=1024,
-            use_idf=bool(config.get("retrieval", {}).get("use_idf", False)),
-        )
+    # first keyframes' own features (see ASMKDatabase docstring); codebook
+    # policy (retrieval.n_words / bootstrap_frames) comes from the config.
+    retr_db = retrieval_mod.ASMKDatabase.from_config(config)
     rp = pathlib.Path(args.retrieval_checkpoint) if args.retrieval_checkpoint else None
     if rp and rp.is_file():
         retr_params, _ = retrieval_mod.retrieval_params_from_checkpoint(str(rp))

@@ -48,6 +48,16 @@ from monst3r_slam_tpu.slam.frame import (
 )
 
 
+def _native_solver_ok() -> bool:
+    """True when the native f64 host solver builds/loads on this machine."""
+    try:
+        from monst3r_slam_tpu.native import load_solver
+
+        return load_solver() is not None
+    except Exception:
+        return False
+
+
 def tracking_config_from_dict(cfg: dict) -> tracker_mod.TrackingConfig:
     t = cfg.get("tracking", {})
     return tracker_mod.TrackingConfig(
@@ -456,6 +466,21 @@ class SLAMSystem:
         self._backend_results: queue.Queue = queue.Queue()
         self._async_errors: List[BaseException] = []  # worker exceptions, re-raised on main thread
         self._err_lock = threading.Lock()  # guards _async_errors (worker appends)
+        # Backend solver selection. `local_opt.solver` values:
+        #   device — f32 Jacobi-preconditioned Cholesky on the TPU
+        #   host   — native f64 host solve (the reference's own precision:
+        #            Eigen f64 CPU LLT, gn_kernels.cu:57-159)
+        #   auto (default) — host when the backend runs in the async worker
+        #            (the host round trip hides inside the worker thread, so
+        #            the measured f64 accuracy gain — ATE 0.116 vs 0.142-0.156
+        #            on the adversarial harness, scripts/ablate_accuracy.py —
+        #            is free); device in synchronous `single_thread` mode
+        #            where the solve sits on the critical path.
+        mode = str(self.cfg.get("local_opt", {}).get("solver", "auto"))
+        if mode == "auto":
+            self.host_solve = not self.single_thread and _native_solver_ok()
+        else:
+            self.host_solve = mode == "host"
         self._worker: Optional[threading.Thread] = None
         if not self.single_thread:
             self._worker = threading.Thread(
@@ -672,7 +697,7 @@ class SLAMSystem:
             use_calib=self.use_calib,
             K=self.K,
             img_size=self.img_size,
-            host_solve=self.cfg.get("local_opt", {}).get("solver", "device") == "host",
+            host_solve=self.host_solve,
         )
 
     # ------------------------------------------------------------------
@@ -833,7 +858,7 @@ class SLAMSystem:
             Twc_new = self.graph.solve_poses(
                 Twc, Xs, Cs, n_kf, self.backend_cfg,
                 use_calib=self.use_calib, K=self.K, img_size=self.img_size,
-                host_solve=self.cfg.get("local_opt", {}).get("solver", "device") == "host",
+                host_solve=self.host_solve,
             )
         if Twc_new is not None:
             # Only the n_kf live poses: the pow2 padding slots must not

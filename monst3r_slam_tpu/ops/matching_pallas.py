@@ -44,10 +44,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 def _pack_width(fd: int) -> int:
-    """Packed channel count. Always the full 128 lanes: Mosaic pads the HBM
-    lane dim to 128 regardless, and a sub-128 channel slice in the crop DMA
-    is rejected ("slice shape along dim 2 must be aligned to tiling (128)"),
-    so a narrower logical pack saves nothing."""
+    """Packed channel count. Always the full 128 lanes: Mosaic lane-pads the
+    HBM memref to 128 regardless (`tpu.tiled<(8,128)...>` on the ANY-space
+    image), so a narrower logical pack saves no HBM traffic, and a sub-128
+    channel slice in the crop DMA is rejected ("slice shape along dim 2 must
+    be aligned to tiling (128)")."""
     assert fd + 9 <= 128
     return 128
 
@@ -100,12 +101,16 @@ def _kernel(
 ):
     # One grid step per TILE; the (static) subblock loop runs inside so the
     # per-step Mosaic overhead is paid T times, not T*n_sub times. Crop DMAs
-    # are DOUBLE-BUFFERED: step t computes on slot t%2 while the DMA for
-    # tile t+1 streams into the other slot, so the per-tile copy latency
-    # hides behind the matmuls instead of serializing with them.
+    # run through an NSLOT-deep rotating buffer: step t computes on slot
+    # t%NSLOT while the DMAs for tiles t+1..t+NSLOT-1 stream into the other
+    # slots. Depth 2 (classic double buffering) left the copies
+    # latency-bound at ~50 GB/s effective (453 MB of 3x3-overlapping crops
+    # = the kernel's dominant phase, scripts/profile_pallas_phases.py);
+    # deeper pipelining keeps more DMA engines in flight.
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
-    slot = jax.lax.rem(t, 2)
+    nslot = crop_scr.shape[0]
+    slot = jax.lax.rem(t, nslot)
 
     def start_fetch(tile_idx, slot_idx):
         # multiple_of: Mosaic can't prove the runtime corner is tile-aligned
@@ -122,9 +127,17 @@ def _kernel(
     def _first():
         start_fetch(0, 0)
 
-    @pl.when(t + 1 < n_tiles)
+    # Fill the pipeline: on step 0 also start tiles 1..nslot-2; every step
+    # tops it up with tile t+nslot-1.
+    for d in range(1, nslot - 1):
+
+        @pl.when((t == 0) & (d < n_tiles))
+        def _fill(d=d):
+            start_fetch(d, d % nslot)
+
+    @pl.when(t + nslot - 1 < n_tiles)
     def _prefetch():
-        start_fetch(t + 1, 1 - slot)
+        start_fetch(t + nslot - 1, jax.lax.rem(t + nslot - 1, nslot))
 
     cx = pl.multiple_of(corners_ref[t, 0], 16)
     cy = pl.multiple_of(corners_ref[t, 1], 16)
@@ -272,8 +285,10 @@ def tile_match_pallas(
             pl.BlockSpec((1, n_sub, sub_q), omap),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, crop, crop, PACK), bf),  # double-buffered crops
-            pltpu.SemaphoreType.DMA((2,)),
+            # 4-deep rotating crop buffers (~2.4 MB VMEM at crop 48): keeps
+            # 3 crop DMAs in flight — depth 2 measured latency-bound.
+            pltpu.VMEM((4, crop, crop, PACK), bf),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 

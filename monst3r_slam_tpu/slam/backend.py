@@ -61,6 +61,13 @@ class BackendConfig(NamedTuple):
     # is wasted. Defaults preserve the historical {8, 16, 32, ...} buckets.
     pose_pad_lo: int = 8
     edge_pad_lo: int = 8
+    # Extra ridge on the per-keyframe SCALE coordinate of the Jacobi-scaled
+    # system (unit-diagonal space). The sigma_dist-whitened normal equations
+    # leave each keyframe's scale gauge weakly determined; in an f32
+    # factorization the roundoff amplifies along exactly that direction
+    # (NOTES_r4 solver ladder). A small prior pulls the scale COMPONENT of
+    # dx toward 0 without touching rotation/translation. 0 = off.
+    scale_gauge: float = 0.0
 
 
 def _point_jac_local(P: jax.Array) -> jax.Array:
@@ -521,6 +528,11 @@ def _solve_dense(H_opt, g_opt, n_poses: int, cfg: BackendConfig):
     # should set `local_opt.solver: host` (native f64, the reference's own
     # GPU-kernel + CPU-Eigen split).
     Hs = Hs + 1e-6 * jnp.eye(dim)
+    if cfg.scale_gauge > 0.0:
+        # Prior on the scale coordinate (index 6 of each 7-block) in the
+        # unit-diagonal space — see BackendConfig.scale_gauge.
+        sg = jnp.zeros((dim,)).at[6::7].set(cfg.scale_gauge)
+        Hs = Hs + jnp.diag(sg)
     L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
     dx = s * jax.scipy.linalg.cho_solve((L, lower), s * g_opt)
     dx = -dx  # NOTE sign (gn_kernels.cu:1192)

@@ -212,6 +212,26 @@ class ASMKDatabase:
         self.norm_factor = np.zeros(0)
         self.kf_counter = 0
 
+    @classmethod
+    def from_config(cls, config: dict) -> "ASMKDatabase":
+        """Bootstrap-mode database with the codebook policy read from the
+        run config (`retrieval.n_words`, `retrieval.bootstrap_frames`,
+        `retrieval.use_idf`) — the no-pretrained-checkpoint path of the
+        reference's processor (processor.py:91-97 loads a pretrained 64k
+        codebook; without one the codebook is k-means-fit on the first
+        keyframes' own features). Recall ablation on oracle features at
+        5120 distractors (scripts/ablate_retrieval.py, NOTES_r5): the
+        bootstrap regime is sample-limited — bootstrap_frames*patches
+        features upper-bound useful words — so defaults balance cell
+        occupancy against quantization collapse."""
+        r = config.get("retrieval", {}) if config else {}
+        return cls(
+            None,
+            n_words=int(r.get("n_words", 1024)),
+            bootstrap_frames=int(r.get("bootstrap_frames", 5)),
+            use_idf=bool(r.get("use_idf", False)),
+        )
+
     def _set_centroids(self, centroids: np.ndarray):
         self.centroids = np.asarray(centroids, np.float32)
         self.cent_sq = (self.centroids**2).sum(1)

@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_timeit import chain_time
 
-from monst3r_slam_tpu.ops.matching_pallas import PACK, _split3
+from monst3r_slam_tpu.ops.matching_pallas import _pack_width, _split3
+PACK = _pack_width(24)
 
 
 def make_kernel(variant, crop, window, conv_thresh):

@@ -365,3 +365,32 @@ def test_flow_error_program_kwargs_detection():
         assert dyn._flow_error_program[1] is False
     finally:
         dyn._flow_error_program = old
+
+
+def test_solver_auto_default():
+    """`local_opt.solver: auto` (the default) resolves to the native f64
+    host solver in async mode (the round trip hides in the backend worker)
+    and to the device solver in synchronous single_thread mode (VERDICT r4
+    #4; reference precision: Eigen f64 CPU LLT, gn_kernels.cu:57-159)."""
+    from monst3r_slam_tpu.app.pipeline import _native_solver_ok
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+
+    def mk(**over):
+        cfg = load_config("config/base.yaml")
+        cfg.update(over)
+        return SLAMSystem(
+            params=params, model_cfg=TINY, cfg=cfg, img_size=(H, W),
+            kf_capacity=8,
+        )
+
+    assert mk(single_thread=True).host_solve is False
+    s_async = mk(single_thread=False)
+    assert s_async.host_solve is _native_solver_ok()
+    s_async.finalize()
+    # explicit values win over auto in both modes
+    s = mk(single_thread=True, local_opt={**load_config("config/base.yaml")["local_opt"], "solver": "host"})
+    assert s.host_solve is True
+    s2 = mk(single_thread=False, local_opt={**load_config("config/base.yaml")["local_opt"], "solver": "device"})
+    assert s2.host_solve is False
+    s2.finalize()

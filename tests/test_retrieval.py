@@ -233,3 +233,19 @@ def test_64k_codebook_pickle_load_and_scale():
     print(f"64k codebook @ {S} images: add {add_ms:.1f} ms/img, "
           f"query {q_ms:.1f} ms, precision@1 {hits}/{n_q}")
     assert hits / n_q >= 0.9, f"precision@1 {hits}/{n_q}"
+
+
+def test_from_config_codebook_policy():
+    """retrieval.n_words / bootstrap_frames / use_idf flow from the run
+    config into the bootstrap database (VERDICT r4 #8; the reference's
+    pretrained-64k path stays checkpoint-driven, processor.py:91-97)."""
+    db = retrieval.ASMKDatabase.from_config(
+        {"retrieval": {"n_words": 2048, "bootstrap_frames": 9, "use_idf": True}}
+    )
+    assert db.n_words == 2048
+    assert db.bootstrap_frames == 9
+    assert db.use_idf is True
+    assert db.centroids is None  # bootstrap mode
+    # defaults match config/base.yaml
+    d2 = retrieval.ASMKDatabase.from_config({})
+    assert d2.n_words == 1024 and d2.bootstrap_frames == 5 and d2.use_idf is False
