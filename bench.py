@@ -214,6 +214,28 @@ def main():
     track_cfg = tracker_mod.TrackingConfig(Q_conf=-1e9, C_conf=-1e9, min_match_frac=0.0)
     use_pallas = jax.default_backend() == "tpu"
 
+    # Relay-health preflight (VERDICT r4 #7): one tiny program's dispatch ->
+    # execute -> host-read round trip, repeated; recorded so every run's
+    # numbers carry the relay weather they were measured under (identical
+    # code spans 6-22 FPS across an afternoon on this transport).
+    wd.phase("preflight", 300)
+    try:
+        _pf = jax.jit(lambda a: a + 1.0)
+        _x = jnp.arange(16.0)
+        np.asarray(_pf(_x))
+        rtts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(_pf(_x))
+            rtts.append((time.perf_counter() - t0) * 1e3)
+        _extra["relay_rtt_ms"] = {
+            "median": round(float(np.median(rtts)), 2),
+            "min": round(float(np.min(rtts)), 2),
+            "max": round(float(np.max(rtts)), 2),
+        }
+    except Exception as e:  # preflight must never kill the bench
+        _extra["relay_rtt_ms"] = f"probe failed: {e}"
+
     def scale_head_outputs(p, model_cfg):
         """Rescale the DPT regression head's final conv so RANDOM weights
         produce pointmaps at trained-checkpoint magnitudes (|X| ~ 1).
@@ -402,6 +424,13 @@ def main():
             for u in uimgs
         ]
 
+        mprof = {}
+
+        def mstage(name, t0):
+            t1 = time.perf_counter()
+            mprof.setdefault(name, []).append((t1 - t0) * 1e3)
+            return t1
+
         def monster_step(k, prev):
             """Per-frame work of main_monster_slam's TRACKING path
             (app/pipeline.py:699-868 with `dual` installed): encode ->
@@ -417,10 +446,13 @@ def main():
             # flow pairs every frame against the same keyframe until the
             # next keyframe event, so its device upload caches across frames
             uimg_k = uimgs[-1]
+            t0 = time.perf_counter()
             feat, pos = model_api.encode(mparams, mcfg_model, img_t)
+            t0 = mstage("encode_dispatch", t0)
             out_m = model_api.decode(
                 mparams, mcfg_model, feat, pos, kf_feat_m, kf_pos_m, (h, w)
             )
+            t0 = mstage("decode_m_dispatch", t0)
             # The MASt3R (D/Q) decode is dispatched mid-mask via overlap_cb:
             # it runs on-device while the host does hysteresis + GrabCut
             # (same overlap as app/pipeline.py's dual tracking path).
@@ -439,6 +471,7 @@ def main():
                 img_i_flow=img_t,
                 overlap_cb=_dispatch_mast3r,
             )
+            t0 = mstage("mask_host", t0)
             if "out_a" not in box:
                 raise RuntimeError(
                     "flow-error program broke the overlap_cb contract "
@@ -461,19 +494,61 @@ def main():
                     Q1=Q1m.reshape(out.Q1.shape),
                 )
             T, idx_f2k = match_track(out, idx_prev, T_prev)
+            mstage("track_dispatch", t0)
             return T, idx_f2k
 
         kf_feat_m, kf_pos_m = model_api.encode(mparams, mcfg_model, imgs[-1])
         np.asarray(kf_feat_m)
-        wd.phase("monster", 600)
-        dt = chain_time(monster_step, n_monster)
+        wd.phase("monster", 900)
+        # Warmup compiles every program in the loop
+        prev = None
+        for k in range(2):
+            prev = monster_step(k, prev)
+        np.asarray(prev[0])
+        mprof.clear()
+        # TWO timed windows (same honest-run protocol as the e2e stage,
+        # VERDICT r4 #3): per-frame walls, lag-1 pose read (mirrors the
+        # production defer), steady state = better window's median. The
+        # mask stage syncs on the host mid-frame, so per-frame walls are
+        # meaningful here, unlike the pure device chains above.
+        m_windows = [[], []]
+        for widx in range(2):
+            pend = None
+            for k in range(n_monster):
+                tf = time.perf_counter()
+                prev = monster_step(2 + widx * n_monster + k, prev)
+                try:
+                    prev[0].copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+                if pend is not None:
+                    np.asarray(pend)
+                pend = prev[0]
+                m_windows[widx].append((time.perf_counter() - tf) * 1e3)
+            np.asarray(pend)
+        m_meds = [float(np.median(w)) for w in m_windows]
+        dt = m_meds[int(np.argmin(m_meds))] / 1e3
         monster_fps = 1.0 / dt
+        m_ratios = [
+            float(np.max(w)) / max(float(np.median(w)), 1e-9) for w in m_windows
+        ]
         _extra["monster_ms"] = round(dt * 1e3, 2)
         _extra["monster_fps"] = round(monster_fps, 3)
+        _extra["monster_window_medians_ms"] = [round(m, 1) for m in m_meds]
+        _extra["monster_frame_ms"] = [round(x, 1) for w in m_windows for x in w]
+        _extra["monster_max_over_median_per_window"] = [
+            round(r, 2) for r in m_ratios
+        ]
+        _extra["monster_clean"] = bool(max(m_ratios) <= 8.0)
+        _extra["monster_stage_ms"] = {
+            k: round(float(np.median(v)), 2) for k, v in mprof.items()
+        }
         emit("monster_fps_512x384_vitl", monster_fps, "frames/s",
              monster_fps / BASELINE_FPS,
              note="flagship dynamic pipeline: dual decode + RAFT flow + "
-                  "dynamic mask + refine + match+track; apples-to-apples "
+                  "dynamic mask + refine + match+track; two-window "
+                  "steady-state median (better window), "
+                  f"clean={bool(max(m_ratios) <= 8.0)}; apples-to-apples "
                   "with the 0.185 FPS reference log")
     except Exception as e:  # the tracking headline must survive any monster failure
         _extra["monster_error"] = f"{type(e).__name__}: {e}"
@@ -736,7 +811,15 @@ def main():
         best = int(np.argmin(meds))
         frame_ms = windows[best]
         dt = meds[best] / 1e3
-        mx_over_med = float(np.max(frame_ms)) / max(float(np.median(frame_ms)), 1e-9)
+        # Clean gate covers BOTH windows (VERDICT r4 #7): each window's max
+        # vs its own median, the flag is the worst of them — a relay
+        # re-upload in the slow window no longer hides behind the fast one.
+        win_ratios = [
+            float(np.max(w)) / max(float(np.median(w)), 1e-9)
+            for w in windows
+            if w
+        ]
+        mx_over_med = max(win_ratios)
         _extra["e2e_slam_ms_mean"] = round(
             t_loop / max(sum(len(w) for w in windows), 1) * 1e3, 2
         )
@@ -752,6 +835,9 @@ def main():
         # compile/upload costs SECONDS (>8x median); organic keyframe-event
         # frames legitimately run 3-5x the tracking-frame median
         _extra["e2e_max_over_median"] = round(mx_over_med, 2)
+        _extra["e2e_max_over_median_per_window"] = [
+            round(r, 2) for r in win_ratios
+        ]
         _extra["e2e_clean"] = bool(mx_over_med <= 8.0)
         _extra["e2e_stage_ms"] = {
             k: round(float(np.median(v)), 2) for k, v in slam.prof.items()

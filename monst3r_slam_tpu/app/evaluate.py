@@ -137,7 +137,9 @@ def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = True):
         S[2, 2] = -1
     R = U @ S @ Vt
     var_x = (xc**2).sum() / x.shape[0]
-    s = float(np.trace(np.diag(d) @ S) / var_x) if with_scale else 1.0
+    # Degenerate (all-identical estimate, e.g. a tracker that never moved):
+    # scale is unobservable — fall back to s=1 instead of dividing by zero.
+    s = float(np.trace(np.diag(d) @ S) / var_x) if with_scale and var_x > 0 else 1.0
     t = mu_y - s * R @ mu_x
     return s, R, t
 
@@ -182,4 +184,5 @@ def ate_rmse(
 def load_tum_trajectory(path):
     """Returns (timestamps (n,), xyz (n, 3), quat_xyzw (n, 4))."""
     data = np.loadtxt(path, comments="#", dtype=np.float64)
+    data = np.atleast_2d(data)  # a 1-keyframe trajectory loads as 1-D
     return data[:, 0], data[:, 1:4], data[:, 4:8]

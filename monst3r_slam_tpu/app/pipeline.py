@@ -481,6 +481,50 @@ class SLAMSystem:
             self.host_solve = not self.single_thread and _native_solver_ok()
         else:
             self.host_solve = mode == "host"
+        # Multi-chip product path (config `parallel.mesh`; SURVEY §2.4's
+        # TPU-native scaling story). 'auto' (default) builds a device mesh
+        # whenever more than one device is visible; 'off' disables. With a
+        # mesh active:
+        #   * the factor-graph edge decode shards its 2E pair batch over
+        #     `dp` (parallel.inference.sharded_edge_decode) — the plain-
+        #     model path only; the dual/easi3r decoders keep their own
+        #     two-device split (parallel.inference.dual_decode_two_device),
+        #   * the global GN shards edges over `dp` with ONE psum of the
+        #     dense system per iteration riding ICI
+        #     (backend.gauss_newton_sharded). A mesh flips the 'auto'
+        #     solver back to the on-chip path — the sharded f32 solve keeps
+        #     collectives on ICI instead of serializing edge accumulation
+        #     through a host f64 round trip; `solver: host` still forces it.
+        self.mesh = None
+        self._mesh_params = None
+        pkey = str(self.cfg.get("parallel", {}).get("mesh", "auto"))
+        if pkey == "auto" and len(jax.devices()) > 1:
+            from monst3r_slam_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+        if self.mesh is not None:
+            if mode == "auto":
+                self.host_solve = False
+            # The dp-sharded edge decode calls the PLAIN decoder directly:
+            # only safe when this system actually decodes with it — not for
+            # the dual/easi3r variants (own two-device split) and not for
+            # subclasses that override _decode_pair (test oracles, custom
+            # models).
+            plain_decode = (
+                type(self)._decode_pair is SLAMSystem._decode_pair
+                and self.dual is None
+                and self.easi3r is None
+            )
+            if plain_decode:
+                from monst3r_slam_tpu.parallel.inference import place_replicated
+
+                self._mesh_params = place_replicated(self.params, self.mesh)
+            shape = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            print(
+                f"parallel: {self.mesh.devices.size}-device mesh {shape} "
+                "(edge decode over dp, sharded global GN; parallel.mesh: off "
+                "to disable)"
+            )
         self._worker: Optional[threading.Thread] = None
         if not self.single_thread:
             self._worker = threading.Thread(
@@ -640,10 +684,24 @@ class SLAMSystem:
         src_b += [src_b[0]] * (B_pad - B)
         aa = jnp.asarray(src_a)
         bb = jnp.asarray(src_b)
-        out2 = self._decode_pair(
-            self.mem.feat[aa], self.mem.pos[aa],
-            self.mem.feat[bb], self.mem.pos[bb],
-        )
+        if self._mesh_params is not None:
+            # Multi-chip: the edge batch shards over the mesh's dp axis
+            # (embarrassingly parallel over pairs; the reference pays 4
+            # SERIAL decoder passes per edge on one GPU,
+            # mast3r_utils.py:87-120). Plain-model path only — dual/easi3r
+            # use their own two-device split.
+            from monst3r_slam_tpu.parallel.inference import sharded_edge_decode
+
+            out2 = sharded_edge_decode(
+                self.mesh, self._mesh_params, self.model_cfg,
+                self.mem.feat[aa], self.mem.pos[aa],
+                self.mem.feat[bb], self.mem.pos[bb], self.img_size,
+            )
+        else:
+            out2 = self._decode_pair(
+                self.mem.feat[aa], self.mem.pos[aa],
+                self.mem.feat[bb], self.mem.pos[bb],
+            )
         # Slot e < E: (Xii, Xji) of edge e; slot E+e: (Xjj, Xij) of edge e.
         # ONE matcher launch for every direction in the batch.
         idx_all, valid_all = self.match_fn(out2.X1, out2.X2, out2.D1, out2.D2)
@@ -698,6 +756,7 @@ class SLAMSystem:
             K=self.K,
             img_size=self.img_size,
             host_solve=self.host_solve,
+            mesh=self.mesh,
         )
 
     # ------------------------------------------------------------------
@@ -858,7 +917,7 @@ class SLAMSystem:
             Twc_new = self.graph.solve_poses(
                 Twc, Xs, Cs, n_kf, self.backend_cfg,
                 use_calib=self.use_calib, K=self.K, img_size=self.img_size,
-                host_solve=self.host_solve,
+                host_solve=self.host_solve, mesh=self.mesh,
             )
         if Twc_new is not None:
             # Only the n_kf live poses: the pow2 padding slots must not

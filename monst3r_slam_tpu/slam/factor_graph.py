@@ -80,11 +80,13 @@ class FactorGraph:
         K=None,
         img_size=None,
         host_solve: bool = False,
+        mesh=None,
     ) -> KeyframeMemory:
         """Run the global GN (global_opt.py:121-213) and write back poses.
 
         host_solve=True routes the linear solves through the native C++ f64
-        solver (config `local_opt.solver: host`)."""
+        solver (config `local_opt.solver: host`). `mesh` shards the edge
+        accumulation over the mesh's dp axis (config `parallel.mesh`)."""
         n_kf = int(mem.count)
         if self.n_edges == 0 or n_kf <= cfg.pin:
             return mem
@@ -93,7 +95,7 @@ class FactorGraph:
             mem.T_WC[:P], mem.X_canon[:P],
             mem.C[:P] / jnp.maximum(mem.N[:P, None, None].astype(jnp.float32), 1.0),
             n_kf, cfg, use_calib=use_calib, K=K, img_size=img_size,
-            host_solve=host_solve,
+            host_solve=host_solve, mesh=mesh,
         )
         if Twc_new is None:
             return mem
@@ -110,6 +112,7 @@ class FactorGraph:
         K=None,
         img_size=None,
         host_solve: bool = False,
+        mesh=None,
     ):
         """Array-level global GN on explicit state snapshots; returns the
         updated (P, 8) poses, or None when there is nothing to solve. Used
@@ -119,6 +122,12 @@ class FactorGraph:
             return None
         P = Twc.shape[0]
         E = _next_pow2(self.n_edges, cfg.edge_pad_lo)
+        if mesh is not None and not host_solve:
+            # Sharded GN needs the padded edge count to divide the dp size
+            # (pow2 buckets with edge_pad_lo >= 8 always do for pow2 meshes,
+            # but keep it correct for any mesh).
+            dp = mesh.shape["dp"]
+            E = ((E + dp - 1) // dp) * dp
         if use_calib:
             from monst3r_slam_tpu.core import geometry
 
@@ -135,6 +144,11 @@ class FactorGraph:
             Twc_new = backend_mod.gauss_newton_host_solve(
                 Twc, Xs, Cs, ii, jj, idx, valid_match, Q, edge_valid, cfg,
                 n_poses=P, use_calib=use_calib, K=K, img_size=img_size,
+            )
+        elif mesh is not None:
+            Twc_new, _ = backend_mod.gauss_newton_sharded(
+                mesh, Twc, Xs, Cs, ii, jj, idx, valid_match, Q, edge_valid,
+                cfg, n_poses=P, use_calib=use_calib, K=K, img_size=img_size,
             )
         else:
             Twc_new, _ = backend_mod.gauss_newton(

@@ -159,6 +159,9 @@ def test_end_to_end_ate_on_synthetic_trajectory(single_thread):
     # force keyframes often enough to exercise the backend
     cfg["tracking"]["match_frac_thresh"] = 0.925
     cfg["single_thread"] = single_thread
+    # oracle harness: skip the 8-virtual-device sharded path (5x slower on
+    # CPU; covered by test_mesh_pipeline_matches_single_device + the dryrun)
+    cfg["parallel"] = {"mesh": "off"}
 
     slam = OracleSLAM(
         params={},
@@ -333,6 +336,7 @@ def _run_noisy(n_frames, with_backend, break_frames=(), retrieval=True,
     cfg["local_opt"]["Q_conf"] = 1.2
     cfg["tracking"]["match_frac_thresh"] = 0.925
     cfg["single_thread"] = True
+    cfg["parallel"] = {"mesh": "off"}
     cfg["defer_tracking_sync"] = defer
     cfg["retrieval"] = {"k": 3, "min_thresh": 1e-4}
 
@@ -353,10 +357,12 @@ def _run_noisy(n_frames, with_backend, break_frames=(), retrieval=True,
     gt = _loop_trajectory(n_frames)
     img = np.zeros((H, W, 3), np.float32)
     modes = []
+    slam.reloc_attempts_by_frame = []  # n_reloc_attempts after each frame
     for i, T in enumerate(gt):
         slam.register_frame(T)
         slam.process_frame(i, float(i) / 30.0, img)
         modes.append(slam.mode)
+        slam.reloc_attempts_by_frame.append(slam.n_reloc_attempts)
     slam.finalize()
 
     frame_ids, T_all = slam.full_trajectory()
@@ -444,6 +450,17 @@ def test_reloc_recovers_at_defer_depth_2():
     assert slam_d.n_reloc_attempts >= 1 or Mode.RELOC in modes_d, (
         "depth-2 mode never attempted relocalization"
     )
+    # Latency pin (VERDICT r4 #9): the break lands at frame 5 and decisions
+    # defer by at most d=2 frames, so relocalization must have been
+    # ATTEMPTED by the end of frame 5 + 2 + 1 (the drain can add one frame).
+    first_attempt = next(
+        (f for f, n_att in enumerate(slam_d.reloc_attempts_by_frame) if n_att > 0),
+        None,
+    )
+    assert first_attempt is not None and first_attempt <= 5 + slam_d.defer_depth + 1, (
+        f"relocalization fired late: frame {first_attempt} for a break at 5 "
+        f"(defer depth {slam_d.defer_depth})"
+    )
     assert modes_d[-1] == Mode.TRACKING, "depth-2 mode never recovered"
     assert len(slam_d.frame_poses) == n
     assert np.isfinite(np.stack(slam_d.frame_poses)).all()
@@ -460,6 +477,7 @@ def test_force_kf_overrides_device_decision():
     # natural gate would fire constantly (impossible threshold)...
     cfg["tracking"]["match_frac_thresh"] = 2.0
     cfg["single_thread"] = True
+    cfg["parallel"] = {"mesh": "off"}
     slam = OracleSLAM(
         params={}, model_cfg=TINY, cfg=cfg, img_size=(H, W), kf_capacity=16
     )
@@ -478,6 +496,7 @@ def test_force_kf_overrides_device_decision():
     # natural gate would never fire...
     cfg2["tracking"]["match_frac_thresh"] = -1.0
     cfg2["single_thread"] = True
+    cfg2["parallel"] = {"mesh": "off"}
     slam2 = OracleSLAM(
         params={}, model_cfg=TINY, cfg=cfg2, img_size=(H, W), kf_capacity=16
     )

@@ -369,9 +369,11 @@ def test_flow_error_program_kwargs_detection():
 
 def test_solver_auto_default():
     """`local_opt.solver: auto` (the default) resolves to the native f64
-    host solver in async mode (the round trip hides in the backend worker)
-    and to the device solver in synchronous single_thread mode (VERDICT r4
-    #4; reference precision: Eigen f64 CPU LLT, gn_kernels.cu:57-159)."""
+    host solver in async single-device mode (the round trip hides in the
+    backend worker), to the device solver in synchronous single_thread mode
+    (VERDICT r4 #4; reference precision: Eigen f64 CPU LLT,
+    gn_kernels.cu:57-159), and back to the on-chip SHARDED solver when a
+    mesh is active (collectives ride ICI instead of a host round trip)."""
     from monst3r_slam_tpu.app.pipeline import _native_solver_ok
 
     params = init_params(jax.random.PRNGKey(0), TINY)
@@ -384,13 +386,61 @@ def test_solver_auto_default():
             kf_capacity=8,
         )
 
-    assert mk(single_thread=True).host_solve is False
-    s_async = mk(single_thread=False)
+    no_mesh = {"parallel": {"mesh": "off"}}
+    assert mk(single_thread=True, **{"parallel": {"mesh": "off"}}).host_solve is False
+    s_async = mk(single_thread=False, **no_mesh)
+    assert s_async.mesh is None
     assert s_async.host_solve is _native_solver_ok()
     s_async.finalize()
+    # mesh auto (8 virtual devices): auto-solver prefers the sharded device
+    # path, and the mesh is constructed
+    s_mesh = mk(single_thread=False)
+    assert s_mesh.mesh is not None and s_mesh.host_solve is False
+    s_mesh.finalize()
     # explicit values win over auto in both modes
-    s = mk(single_thread=True, local_opt={**load_config("config/base.yaml")["local_opt"], "solver": "host"})
+    base_lo = load_config("config/base.yaml")["local_opt"]
+    s = mk(single_thread=True, local_opt={**base_lo, "solver": "host"})
     assert s.host_solve is True
-    s2 = mk(single_thread=False, local_opt={**load_config("config/base.yaml")["local_opt"], "solver": "device"})
+    s2 = mk(single_thread=False, local_opt={**base_lo, "solver": "device"}, **no_mesh)
     assert s2.host_solve is False
     s2.finalize()
+
+
+def test_mesh_pipeline_matches_single_device():
+    """Product multi-chip path (VERDICT r4 #6): the SAME synthetic video
+    through `parallel.mesh: auto` (8 virtual devices: dp-sharded edge decode
+    + sharded global GN) and `parallel.mesh: off` must produce identical
+    keyframe decisions and matching trajectories. GSPMD may reorder the
+    dp-partitioned decode's reductions, so poses are compared to tight
+    float32 tolerance rather than bitwise."""
+    params = init_params(jax.random.PRNGKey(0), TINY)
+
+    def run(mesh_key):
+        cfg = load_config("config/base.yaml")
+        cfg["single_thread"] = True
+        cfg["tracking"]["Q_conf"] = -1e9
+        cfg["tracking"]["C_conf"] = -1e9
+        cfg["tracking"]["min_match_frac"] = 0.0
+        cfg["local_opt"]["Q_conf"] = -1e9
+        cfg["local_opt"]["min_match_frac"] = 0.0
+        cfg["parallel"] = {"mesh": mesh_key}
+        s = SLAMSystem(
+            params=params, model_cfg=TINY, cfg=cfg, img_size=(H, W),
+            kf_capacity=16,
+        )
+        if mesh_key == "auto":
+            assert s.mesh is not None and s._mesh_params is not None
+        else:
+            assert s.mesh is None
+        for i, img in enumerate(synth_video(6)):
+            s.process_frame(i, float(i) / 30.0, img)
+        s.finalize()
+        return s
+
+    s_mesh = run("auto")
+    s_solo = run("off")
+    assert int(s_mesh.mem.count) == int(s_solo.mem.count)
+    assert s_mesh.frame_ids == s_solo.frame_ids
+    p_mesh = np.stack(s_mesh.frame_poses)
+    p_solo = np.stack(s_solo.frame_poses)
+    np.testing.assert_allclose(p_mesh, p_solo, rtol=0, atol=5e-5)
