@@ -301,7 +301,10 @@ def _surfel_snapshot(X_flat, C, N, T_WC, h: int, w: int, stride: int):
     world points, grid normals (cross of pixel-grid tangents, rotated to
     world — the reference computes these in surfelmap.glsl's geometry
     stage), footprint radii (mean neighbor distance x stride), and average
-    confidence; all strided to the snapshot budget before download."""
+    confidence; 2D-strided to the snapshot budget before download. The
+    output keeps GRID ORDER (row-major over the strided (gh, gw) grid) so
+    the viewer's triangle-mesh mode (trianglemap.glsl parity) can connect
+    grid neighbors; `viewer_grid_dims` gives (gh, gw)."""
     X = X_flat.reshape(h, w, 3)
     # forward differences with edge clamp
     dXu = jnp.diff(X, axis=1, append=X[:, -1:] + (X[:, -1:] - X[:, -2:-1]))
@@ -316,14 +319,21 @@ def _surfel_snapshot(X_flat, C, N, T_WC, h: int, w: int, stride: int):
     M = lie.sim3_matrix(T_WC)
     s = T_WC[7]
     R_pure = M[:3, :3] / s  # normals rotate without scale
-    Xw = lie.sim3_act(T_WC, X.reshape(-1, 3))[::stride]
-    Nw = (n_cam.reshape(-1, 3) @ R_pure.T)[::stride]
-    rad = (r.reshape(-1) * s)[::stride]
-    conf = (
-        C.reshape(-1)[::stride]
-        / jnp.maximum(N.astype(jnp.float32), 1.0)
-    )
+
+    def grid2d(a):  # (h, w, ...) -> (gh*gw, ...)
+        g = a[::stride, ::stride]
+        return g.reshape((-1,) + g.shape[2:])
+
+    Xw = lie.sim3_act(T_WC, grid2d(X))
+    Nw = grid2d(n_cam) @ R_pure.T
+    rad = grid2d(r) * s
+    conf = grid2d(C.reshape(h, w)) / jnp.maximum(N.astype(jnp.float32), 1.0)
     return Xw, Nw, rad, conf
+
+
+def viewer_grid_dims(h: int, w: int, stride: int):
+    """(gh, gw) of _surfel_snapshot's strided grid."""
+    return len(range(0, h, stride)), len(range(0, w, stride))
 
 
 @partial(jax.jit, static_argnames=("P",))
@@ -1508,12 +1518,18 @@ class SLAMSystem:
         # one fused device program per keyframe computes world points, grid
         # normals, and footprint radii (the reference's surfelmap.glsl
         # renders the same quantities on the GPU,
-        # resources/programs/surfelmap.glsl:1-136), strided so the snapshot
-        # stays ~200k surfels regardless of n_kf.
-        stride = max(1, (n * self.hw) // 200_000)
+        # resources/programs/surfelmap.glsl:1-136), 2D-strided so the
+        # snapshot stays ~200k surfels regardless of n_kf. Points are kept
+        # in GRID ORDER with low-confidence vertices NaN-ed out (not
+        # dropped) so the viewer's mesh mode (trianglemap.glsl parity) can
+        # connect grid neighbors; the point/splat mode skips NaNs.
         h, w = self.img_size
+        stride = max(1, int(np.ceil(np.sqrt(n * self.hw / 200_000))))
+        gh, gw = viewer_grid_dims(h, w, stride)
         T = np.asarray(self.mem.T_WC[:n])
-        cols = self.keyframe_colors()[:, ::stride]
+        cols = self.keyframe_colors().reshape(n, h, w, 3)[
+            :, ::stride, ::stride
+        ].reshape(n, -1, 3)
         if self.cur_uimg is not None and hasattr(self.viewer, "update_frame"):
             # input-frame strip with the dynamic mask tinted (reference
             # visualization.py:118-126 overlay)
@@ -1524,11 +1540,13 @@ class SLAMSystem:
                 self.mem.X_canon[i], self.mem.C[i], self.mem.N[i],
                 self.mem.T_WC[i], h=h, w=w, stride=stride,
             )
-            keep = np.asarray(conf) > self.viz_C_conf  # slider-controlled
-            pts.append(np.asarray(Xw)[keep])
-            rgb.append(cols[i][keep])
-            nrm.append(np.asarray(Nw)[keep])
-            rad.append(np.asarray(R)[keep])
+            Xw = np.asarray(Xw).copy()
+            drop = np.asarray(conf) <= self.viz_C_conf  # slider-controlled
+            Xw[drop] = np.nan  # mesh holes; splat mode skips NaNs
+            pts.append(Xw)
+            rgb.append(cols[i])
+            nrm.append(np.asarray(Nw))
+            rad.append(np.asarray(R))
         if not pts:
             return
         traj = (
@@ -1541,6 +1559,7 @@ class SLAMSystem:
             kf_centers=T[:, :3],
             kf_segments=type(self.viewer).frustum_segments(T),
             normals=np.concatenate(nrm), radii=np.concatenate(rad),
+            grid=(gh, gw),
         )
 
     # ------------------------------------------------------------------

@@ -46,6 +46,7 @@ font:12px monospace;cursor:pointer}
 <div id="ctrl">
 <button id="bpause">pause</button><button id="bstep">step</button>
 <button id="breloc">reloc</button><button id="bterm">terminate</button>
+<button id="bmesh">mesh</button>
 C_conf <input id="cconf" type="range" min="0" max="10" step="0.1" value="1.5">
 <span id="cval">1.5</span></div>
 <script>
@@ -57,6 +58,7 @@ let pts = new Float32Array(0), cols = new Uint8Array(0);
 let traj = new Float32Array(0), kfs = new Float32Array(0);
 let segs = new Float32Array(0);
 let nrms = new Float32Array(0), rads = new Float32Array(0);
+let gh = 0, gw = 0, meshMode = false;
 let seq = -1, center = [0,0,0], scale = 1;
 let yaw = 0.5, pitch = 0.4, dist = 4;
 let dragging = false, lx = 0, ly = 0;
@@ -70,17 +72,46 @@ window.onmousemove = e => {
 canvas.onwheel = e => { dist *= Math.exp(e.deltaY * 0.001); draw(); e.preventDefault(); };
 function recenter() {
   if (!pts.length) return;
-  let c = [0,0,0], n = pts.length/3;
-  for (let i = 0; i < pts.length; i += 3)
-    { c[0]+=pts[i]; c[1]+=pts[i+1]; c[2]+=pts[i+2]; }
+  let c = [0,0,0], n = 0;
+  for (let i = 0; i < pts.length; i += 3) {
+    if (!isFinite(pts[i])) continue;
+    c[0]+=pts[i]; c[1]+=pts[i+1]; c[2]+=pts[i+2]; n++;
+  }
+  if (!n) return;
   center = [c[0]/n, c[1]/n, c[2]/n];
   let d = [];
   for (let i = 0; i < pts.length; i += 3*7) {
+    if (!isFinite(pts[i])) continue;
     const dx=pts[i]-center[0], dy=pts[i+1]-center[1], dz=pts[i+2]-center[2];
     d.push(Math.sqrt(dx*dx+dy*dy+dz*dz));
   }
   d.sort((a,b)=>a-b);
   scale = d[Math.floor(d.length*0.9)] || 1;
+}
+function fillTri(img, zbuf, W, H, p0, p1, p2, r, g, b) {
+  // z-buffered flat-shaded triangle (trianglemap.glsl raster equivalent)
+  const minx = Math.max(0, Math.floor(Math.min(p0[0], p1[0], p2[0])));
+  const maxx = Math.min(W - 1, Math.ceil(Math.max(p0[0], p1[0], p2[0])));
+  const miny = Math.max(0, Math.floor(Math.min(p0[1], p1[1], p2[1])));
+  const maxy = Math.min(H - 1, Math.ceil(Math.max(p0[1], p1[1], p2[1])));
+  if (maxx - minx > 96 || maxy - miny > 96) return;  // degenerate sliver
+  const z = (p0[2] + p1[2] + p2[2]) / 3;
+  const e = (a, b2, x, y) => (b2[0]-a[0])*(y-a[1]) - (b2[1]-a[1])*(x-a[0]);
+  const area = e(p0, p1, p2[0], p2[1]);
+  if (area === 0) return;
+  const s = area > 0 ? 1 : -1;
+  for (let y = miny; y <= maxy; y++) {
+    for (let x = minx; x <= maxx; x++) {
+      if (s*e(p0, p1, x, y) < 0 || s*e(p1, p2, x, y) < 0 ||
+          s*e(p2, p0, x, y) < 0) continue;
+      const idx = y * W + x;
+      if (z > zbuf[idx]) continue;
+      zbuf[idx] = z;
+      const o = idx * 4;
+      img.data[o] = r; img.data[o+1] = g; img.data[o+2] = b;
+      img.data[o+3] = 255;
+    }
+  }
 }
 function proj(x, y, z, cyaw, syaw, cp, sp, f) {
   x -= center[0]; y -= center[1]; z -= center[2];
@@ -99,7 +130,49 @@ function draw() {
   const zbuf = new Float32Array(canvas.width * canvas.height).fill(1e9);
   const W = canvas.width, H = canvas.height;
   const surfel = nrms.length === pts.length && rads.length * 3 === pts.length;
+  if (meshMode && gw > 1 && gh > 1) {
+    // Triangle-mesh mode (reference trianglemap.glsl:1-144): two CCW
+    // triangles per grid cell whose 4 vertices are valid (non-NaN = above
+    // the conf gate), slant-gated on the view-rotated normal, flat-shaded.
+    const npkf = gh * gw, nkf = Math.floor(pts.length / 3 / npkf);
+    const P = new Array(4);
+    for (let k = 0; k < nkf; k++) {
+      const base = k * npkf;
+      for (let y = 0; y + 1 < gh; y++) {
+        for (let x = 0; x + 1 < gw; x++) {
+          const i00 = base + y*gw + x, i01 = i00 + 1;
+          const i10 = i00 + gw, i11 = i10 + 1;
+          let ok = true;
+          const vix = [i00, i01, i10, i11];
+          for (let q = 0; q < 4 && ok; q++) {
+            const j = vix[q] * 3;
+            if (!isFinite(pts[j])) { ok = false; break; }
+            P[q] = proj(pts[j], pts[j+1], pts[j+2], cyaw, syaw, cp, sp, f);
+            if (!P[q]) ok = false;
+          }
+          if (!ok) continue;
+          let shade = 1.0;
+          if (surfel) {
+            const j = i00 * 3;
+            const nz1 = -syaw*nrms[j] + cyaw*nrms[j+2];
+            const nz2 = sp*nrms[j+1] + cp*nz1;
+            if (Math.abs(nz2) < 0.1) continue;   // slant_threshold
+            shade = 0.35 + 0.65 * Math.abs(nz2);
+          }
+          let r = 0, g = 0, b = 0;
+          for (let q = 0; q < 4; q++) {
+            const j = vix[q] * 3;
+            r += cols[j]; g += cols[j+1]; b += cols[j+2];
+          }
+          r = r/4*shade; g = g/4*shade; b = b/4*shade;
+          fillTri(img, zbuf, W, H, P[0], P[2], P[1], r, g, b);
+          fillTri(img, zbuf, W, H, P[1], P[2], P[3], r, g, b);
+        }
+      }
+    }
+  } else
   for (let i = 0; i < pts.length; i += 3) {
+    if (!isFinite(pts[i])) continue;
     const p = proj(pts[i], pts[i+1], pts[i+2], cyaw, syaw, cp, sp, f);
     if (!p) continue;
     const u = Math.round(p[0]), v = Math.round(p[1]);
@@ -158,12 +231,13 @@ async function poll() {
   try {
     const r = await fetch('/state.bin', {cache: 'no-store'});
     const buf = await r.arrayBuffer();
-    const head = new Uint32Array(buf, 0, 6);
+    const head = new Uint32Array(buf, 0, 8);
     if (head[0] !== seq) {
       seq = head[0];
       const np_ = head[1], nt = head[2], nk = head[3], ns = head[4];
       const hasSurfel = head[5];
-      let off = 24;
+      gh = head[6]; gw = head[7];
+      let off = 32;
       pts = new Float32Array(buf.slice(off, off + np_*12)); off += np_*12;
       cols = new Uint8Array(buf.slice(off, off + np_*3)); off += np_*3;
       off += (4 - off % 4) % 4;
@@ -176,7 +250,8 @@ async function poll() {
       } else { nrms = new Float32Array(0); rads = new Float32Array(0); }
       recenter(); draw();
       hud.textContent = `update ${seq}: ${np_} ` +
-        (hasSurfel ? 'surfels' : 'pts') + `, ${nk} keyframes, ${nt} poses`;
+        (meshMode && gw > 1 ? 'mesh verts' : hasSurfel ? 'surfels' : 'pts') +
+        `, ${nk} keyframes, ${nt} poses`;
     }
   } catch (e) { hud.textContent = 'stream lost: ' + e; }
   try {
@@ -204,6 +279,11 @@ document.getElementById('bpause').onclick = e => {
   post({pause: paused});
 };
 document.getElementById('bstep').onclick = () => post({step: true});
+document.getElementById('bmesh').onclick = e => {
+  meshMode = !meshMode;
+  e.target.textContent = meshMode ? 'splats' : 'mesh';
+  draw();
+};
 document.getElementById('breloc').onclick = () => post({reloc: true});
 document.getElementById('bterm').onclick = () => post({terminate: true});
 document.getElementById('cconf').oninput = e => {
@@ -214,7 +294,7 @@ poll();
 </script></body></html>
 """
 
-_EMPTY = struct.pack("<6I", 0, 0, 0, 0, 0, 0)
+_EMPTY = struct.pack("<8I", 0, 0, 0, 0, 0, 0, 0, 0)
 
 
 class LiveViewer:
@@ -329,11 +409,15 @@ class LiveViewer:
         kf_segments: Optional[np.ndarray] = None,  # (L, 2, 3) frustum lines
         normals: Optional[np.ndarray] = None,  # (n, 3) world normals
         radii: Optional[np.ndarray] = None,  # (n,) surfel radii (world units)
+        grid: Optional[tuple] = None,  # (gh, gw): points are per-keyframe
+        # row-major grids of gh*gw vertices (NaN = hole) — enables the mesh
+        # render mode (trianglemap.glsl parity)
         max_points: int = 250_000,
     ):
         """With `normals` + `radii`, the page renders normal-shaded surfel
         splats (the reference's surfelmap.glsl path); otherwise z-buffered
-        points."""
+        points. With `grid`, a mesh toggle renders filled triangles between
+        valid grid neighbors (the reference's trianglemap.glsl path)."""
         points = np.asarray(points, np.float32).reshape(-1, 3)
         colors = np.asarray(colors).reshape(-1, 3)
         if colors.dtype != np.uint8:
@@ -342,17 +426,20 @@ class LiveViewer:
         if has_surfel:
             normals = np.asarray(normals, np.float32).reshape(-1, 3)
             radii = np.asarray(radii, np.float32).reshape(-1)
-        finite = np.isfinite(points).all(axis=1)
-        points, colors = points[finite], colors[finite]
-        if has_surfel:
-            normals, radii = normals[finite], radii[finite]
-        if points.shape[0] > max_points:
-            sel = np.random.default_rng(0).choice(
-                points.shape[0], max_points, replace=False
-            )
-            points, colors = points[sel], colors[sel]
+        gh, gw = (0, 0) if grid is None else (int(grid[0]), int(grid[1]))
+        if grid is None:
+            # non-grid callers: NaNs carry no structure, drop them + budget
+            finite = np.isfinite(points).all(axis=1)
+            points, colors = points[finite], colors[finite]
             if has_surfel:
-                normals, radii = normals[sel], radii[sel]
+                normals, radii = normals[finite], radii[finite]
+            if points.shape[0] > max_points:
+                sel = np.random.default_rng(0).choice(
+                    points.shape[0], max_points, replace=False
+                )
+                points, colors = points[sel], colors[sel]
+                if has_surfel:
+                    normals, radii = normals[sel], radii[sel]
         traj = (
             np.zeros((0, 3), np.float32)
             if traj is None
@@ -370,8 +457,8 @@ class LiveViewer:
         )
         self._seq += 1
         head = struct.pack(
-            "<6I", self._seq, points.shape[0], traj.shape[0], kf.shape[0],
-            segs.shape[0], int(has_surfel),
+            "<8I", self._seq, points.shape[0], traj.shape[0], kf.shape[0],
+            segs.shape[0], int(has_surfel), gh, gw,
         )
         body = points.tobytes() + colors.tobytes()
         body += b"\0" * ((4 - (len(head) + len(body)) % 4) % 4)

@@ -63,10 +63,12 @@ def test_live_viewer_roundtrip():
         assert "state.bin" in page
 
         blob = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
-        seq, n_p, n_t, n_k, n_s, has_surfel = struct.unpack_from("<6I", blob)
-        assert (seq, n_t, n_k, n_s, has_surfel) == (1, 7, 3, 24, 0)
+        seq, n_p, n_t, n_k, n_s, has_surfel, gh, gw = struct.unpack_from(
+            "<8I", blob
+        )
+        assert (seq, n_t, n_k, n_s, has_surfel, gh, gw) == (1, 7, 3, 24, 0, 0, 0)
         assert n_p == 500  # all finite
-        off = 24
+        off = 32
         got = np.frombuffer(blob, "<f4", n_p * 3, off).reshape(-1, 3)
         np.testing.assert_allclose(got, pts, rtol=1e-6)
         off += n_p * 12 + n_p * 3
@@ -79,14 +81,23 @@ def test_live_viewer_roundtrip():
         pts2[:10] = np.nan
         v.update(pts2, cols)
         blob2 = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
-        assert struct.unpack_from("<6I", blob2)[1] == 490
+        assert struct.unpack_from("<8I", blob2)[1] == 490
+
+        # grid (mesh) mode: NaN holes are KEPT (grid order preserved for the
+        # trianglemap.glsl-parity mesh renderer) and dims ride in the header
+        v.update(pts2, cols, grid=(25, 20))
+        blobg = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
+        hg = struct.unpack_from("<8I", blobg)
+        assert hg[1] == 500 and (hg[6], hg[7]) == (25, 20)
+        gotg = np.frombuffer(blobg, "<f4", 500 * 3, 32).reshape(-1, 3)
+        np.testing.assert_allclose(gotg, pts2, rtol=1e-6, equal_nan=True)
 
         # surfel snapshot: normals + radii ride at the tail, flag set
         nrm = rng.standard_normal((500, 3)).astype(np.float32)
         rad = rng.uniform(0.01, 0.1, 500).astype(np.float32)
         v.update(pts, cols, normals=nrm, radii=rad)
         blob3 = urllib.request.urlopen(f"http://127.0.0.1:{port}/state.bin").read()
-        h3 = struct.unpack_from("<6I", blob3)
+        h3 = struct.unpack_from("<8I", blob3)
         assert h3[1] == 500 and h3[5] == 1
         got_r = np.frombuffer(blob3, "<f4", 500, len(blob3) - 500 * 4)
         np.testing.assert_allclose(got_r, rad, rtol=1e-6)
