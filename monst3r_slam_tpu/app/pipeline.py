@@ -1380,6 +1380,42 @@ class SLAMSystem:
                 (time.perf_counter() - t6) * 1e3
             )
 
+    # ------------------------------------------------------------------
+    # Chunked (burst) tracking: C frames per device program (app/chunked.py)
+    # ------------------------------------------------------------------
+
+    @property
+    def supports_chunking(self) -> bool:
+        """Chunked mode covers the plain MASt3R pipeline: the dual/easi3r
+        variants run host stages (GrabCut/SAM2 mask refinement) per frame,
+        and the lm matcher returns no fused-program decision vector.
+        `use_dynamic_mask` alone is no obstacle — masking only activates
+        with a dual model (see `mask_this_frame` in process_frame)."""
+        return (
+            self.dual is None
+            and self.easi3r is None
+            and self.match_mode != "lm"
+        )
+
+    def process_chunk(self, frame_ids, timestamps, imgs_dev, uimgs=None,
+                      hook_xs=None, decode_hook=None) -> bool:
+        """Process a (C, h, w, 3) uint8/f32 batch of frames with ONE device
+        program + ONE host sync per event-free chunk (app/chunked.py has the
+        full design note). Decision semantics match per-frame processing
+        with `defer_tracking_sync: 0`. Returns False on viewer terminate."""
+        from monst3r_slam_tpu.app import chunked
+
+        if not self.supports_chunking:
+            raise RuntimeError(
+                "chunked tracking requires the plain MASt3R pipeline "
+                "(no dual/easi3r models, no dynamic mask, tiled/pallas "
+                "matcher)"
+            )
+        return chunked.process_chunk(
+            self, frame_ids, timestamps, imgs_dev, uimgs=uimgs,
+            hook_xs=hook_xs, decode_hook=decode_hook,
+        )
+
     def _resolve_pending(self):
         """Drain ALL pending tracking results (finalize/snapshot/frame-entry
         when the depth budget is exhausted)."""

@@ -152,8 +152,16 @@ def match_tiled(
     tcfg: TiledConfig = TiledConfig(),
     use_init: bool = False,
     use_pallas: bool = False,
+    warm_valid: Optional[jax.Array] = None,
 ):
     """Batched (b=1 per call; vmap for more) tiled matcher.
+
+    `warm_valid` (optional () bool, TRACED) gates the warm start at run
+    time: when False the coarse-search result is used even though
+    `use_init=True` compiled the warm path in. The chunked tracker scans
+    frames inside ONE program and the first frame after a keyframe switch
+    has no valid warm start — a static `use_init` can't express that
+    without a second compile of the whole chunk program.
 
     Returns (idx_1_to_2 (1, h*w) int32, valid (1, h*w, 1) bool).
     """
@@ -187,6 +195,8 @@ def match_tiled(
             crop // 2 - tcfg.reseed_margin
         )
         med = jnp.where(stale[:, None], med_coarse, med_warm)
+        if warm_valid is not None:
+            med = jnp.where(warm_valid, med, med_coarse)
     else:
         med = med_coarse
     cx = jnp.clip(jnp.round(med[:, 0]).astype(jnp.int32) - crop // 2, 0, w - crop)
